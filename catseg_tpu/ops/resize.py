@@ -1,0 +1,134 @@
+"""Torch-semantics-exact separable image resizing as matrix multiplies.
+
+``jax.image.resize`` does not match ``torch.nn.functional.interpolate`` (see
+reference usage at cat_seg/cat_seg_model.py:144,166,191 (bilinear,
+align_corners=False), cat_seg/modeling/transformer/model.py:416,670 (bilinear,
+align_corners=True) and cat_seg/third_party/model_vpt.py:326 (bicubic pos-embed
+resize)).  mIoU parity requires bit-comparable resampling, so we build the
+exact torch interpolation weights as small dense (out, in) matrices at trace
+time (numpy, static shapes) and apply them as two einsums.  On TPU this is
+also the *fast* formulation: each axis resize is a matmul that XLA places on
+the MXU and fuses with neighbouring elementwise work, instead of a gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float64)
+    if out_size == 1:
+        # torch maps the single output pixel to source coord 0 in both modes.
+        w = np.zeros((1, in_size))
+        w[0, 0] = 1.0
+        return w
+    # torch computes source coordinates in float32 (area_pixel_compute_*
+    # use scalar_t=float for fp32 inputs); we must mirror that rounding.
+    i = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        ratio = np.float32(in_size - 1) / np.float32(out_size - 1)
+        x = i * ratio
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        x = (i + np.float32(0.5)) * scale - np.float32(0.5)
+        x = np.clip(x, np.float32(0.0), None)
+    x0 = np.floor(x).astype(np.int64)
+    x0 = np.clip(x0, 0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    f = (x - x0.astype(np.float32)).astype(np.float64)
+    w = np.zeros((out_size, in_size))
+    np.add.at(w, (np.arange(out_size), x0), 1.0 - f)
+    np.add.at(w, (np.arange(out_size), x1), f)
+    return w
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch's cubic convolution kernel (Keys, A=-0.75)."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    inner = (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0
+    outer = a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+@functools.lru_cache(maxsize=None)
+def _cubic_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) bicubic interpolation matrix (torch semantics:
+
+    4-tap Keys cubic, edge-replicated sample indices)."""
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float64)
+    i = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        if out_size == 1:
+            x = np.zeros(1, dtype=np.float32)
+        else:
+            x = i * (np.float32(in_size - 1) / np.float32(out_size - 1))
+    else:
+        x = (i + np.float32(0.5)) * (np.float32(in_size) / np.float32(out_size)) - np.float32(0.5)
+    x0 = np.floor(x).astype(np.int64)
+    f = (x - x0.astype(np.float32)).astype(np.float64)
+    w = np.zeros((out_size, in_size))
+    rows = np.arange(out_size)
+    for t in range(-1, 3):
+        idx = np.clip(x0 + t, 0, in_size - 1)
+        np.add.at(w, (rows, idx), _cubic_kernel(f - t))
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
+    # torch 'nearest' (legacy): floor(i * in/out)
+    i = np.arange(out_size, dtype=np.float64)
+    return np.minimum((i * in_size / out_size).astype(np.int64), in_size - 1)
+
+
+def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
+    """Apply per-axis weight matrices to the two spatial axes of NHWC ``x``."""
+    dtype = x.dtype
+    wh_j = jnp.asarray(wh, dtype=jnp.float32)
+    ww_j = jnp.asarray(ww, dtype=jnp.float32)
+    x = x.astype(jnp.float32)
+    # height: (B,H,W,C) x (H',H) -> (B,H',W,C)
+    x = jnp.einsum("bhwc,oh->bowc", x, wh_j)
+    # width
+    x = jnp.einsum("bhwc,ow->bhoc", x, ww_j)
+    return x.astype(dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """NHWC bilinear resize, exactly matching
+    ``F.interpolate(x, size=out_hw, mode='bilinear', align_corners=...)``."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    return _apply_separable(x, _linear_weights(h, oh, align_corners), _linear_weights(w, ow, align_corners))
+
+
+def resize_bicubic(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:
+    """NHWC bicubic resize matching torch (no antialias)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    return _apply_separable(x, _cubic_weights(h, oh, align_corners), _cubic_weights(w, ow, align_corners))
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """NHWC nearest resize (torch legacy 'nearest' index rule)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    hi = _nearest_index(h, oh)
+    wi = _nearest_index(w, ow)
+    return x[:, hi][:, :, wi]
