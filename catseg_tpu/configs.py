@@ -1,0 +1,148 @@
+"""Flat dataclass configuration with per-benchmark presets.
+
+Replaces the reference's yacs CfgNode hierarchy (cat_seg/config.py:6-93,
+configs/{config,vitb_384,vitl_336}.yaml + eval.sh CLI overrides) with typed
+dataclasses.  Every released-model setting is reproduced; the six benchmark
+eval presets correspond to eval.sh:28-103 (sliding window on, pooling [1,1],
+per-benchmark class JSON).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CLIPVariant:
+    """Architecture hyperparameters of an OpenAI-style CLIP."""
+
+    name: str
+    patch: int
+    width: int
+    layers: int
+    heads: int
+    embed_dim: int
+    pretrain_res: int
+    text_width: int
+    text_heads: int
+    text_layers: int
+    vocab_size: int = 49408
+    context: int = 77
+
+    @property
+    def pretrain_grid(self) -> int:
+        return self.pretrain_res // self.patch
+
+
+VITB16 = CLIPVariant("ViT-B/16", 16, 768, 12, 12, 512, 224, 512, 8, 12)
+VITL14_336 = CLIPVariant("ViT-L/14@336px", 14, 1024, 24, 16, 768, 336, 768, 12, 12)
+VITB32 = CLIPVariant("ViT-B/32", 32, 768, 12, 12, 512, 224, 512, 8, 12)  # RemoteCLIP backbone
+
+CLIP_VARIANTS = {v.name: v for v in (VITB16, VITL14_336, VITB32)}
+
+# image normalization (reference: cat_seg/config.py CLIP_PIXEL_* and configs PIXEL_*)
+PIXEL_MEAN = (123.675, 116.280, 103.530)
+PIXEL_STD = (58.395, 57.120, 57.375)
+CLIP_PIXEL_MEAN = (122.7709383, 116.7460125, 104.09373615)
+CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Optional second-encoder fusion pathway (reference fork Ver31/Ver14
+    families collapsed into one parameterized path, see SURVEY.md §2.4)."""
+
+    encoder: str = "dino_vitb8"  # or "sam_vitb"
+    second_corr: bool = True  # second correlation volume + fusion conv
+    dual_guidance: bool = True  # second decoder-guidance pyramid
+    encoder_resolution: int = 384
+    clip_resolution: int = 768  # Ver31 runs CLIP at 768^2
+
+
+@dataclass(frozen=True)
+class CATSegConfig:
+    clip: CLIPVariant = VITB16
+    clip_resolution: int = 384  # 384 for B/16, 336 for L/14 (cat_seg_model.py:78)
+    guidance_layers: tuple[int, int] = (3, 7)  # (7, 15) for L/14 (cat_seg_model.py:84)
+    guidance_proj_dim: int = 768  # vision width; ConvT inputs (cat_seg_model.py:80-82)
+
+    # aggregator (configs/vitb_384.yaml / vitl_336.yaml SEM_SEG_HEAD block)
+    text_guidance_dim: int = 512
+    text_guidance_proj_dim: int = 128
+    appearance_guidance_dim: int = 512
+    appearance_guidance_proj_dim: int = 128
+    decoder_dims: tuple[int, int] = (64, 32)
+    decoder_guidance_dims: tuple[int, int] = (256, 128)
+    decoder_guidance_proj_dims: tuple[int, int] = (32, 16)
+    num_layers: int = 2
+    num_heads: int = 4
+    hidden_dim: int = 128
+    pooling_size: tuple[int, int] = (2, 2)
+    feature_resolution: tuple[int, int] = (24, 24)
+    window_size: int = 12
+    attention_type: str = "linear"
+    pad_len: int = 256
+    prompt_ensemble_type: str = "single"
+
+    # inference
+    sliding_window: bool = False
+    sw_out_res: int = 640
+    sw_kernel: int = 384
+    sw_overlap: float = 0.333
+
+    # training (configs/config.yaml SOLVER + INPUT)
+    ignore_value: int = 255
+    num_classes: int = 171
+    clip_finetune: str = "attention"
+    base_lr: float = 2e-4
+    max_iter: int = 80000
+    weight_decay: float = 1e-4
+    clip_multiplier: float = 0.01
+    backbone_multiplier: float = 0.0
+    grad_clip_norm: float = 0.01
+    batch_size: int = 4
+    crop_size: int = 384
+    min_size_test: int = 640
+    max_size_test: int = 2560
+    color_aug: bool = True
+
+    compute_dtype: str = "bfloat16"
+    fusion: FusionConfig | None = None
+
+    @property
+    def sw_stride(self) -> int:
+        return int(self.sw_kernel * (1 - self.sw_overlap))
+
+    @property
+    def prompt_channel(self) -> int:
+        from .text import templates
+
+        return len(templates.get(self.prompt_ensemble_type))
+
+    def replace(self, **kw) -> "CATSegConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def vitb384(**kw) -> CATSegConfig:
+    """CAT-Seg (B): ViT-B/16 @ 384 (configs/vitb_384.yaml)."""
+    return CATSegConfig(**kw)
+
+
+def vitl336(**kw) -> CATSegConfig:
+    """CAT-Seg (L): ViT-L/14@336px (configs/vitl_336.yaml)."""
+    base = dict(
+        clip=VITL14_336,
+        clip_resolution=336,
+        guidance_layers=(7, 15),
+        guidance_proj_dim=1024,
+        text_guidance_dim=768,
+        appearance_guidance_dim=768,
+    )
+    base.update(kw)
+    return CATSegConfig(**base)
+
+
+def eval_preset(cfg: CATSegConfig) -> CATSegConfig:
+    """The eval.sh protocol: sliding window + POOLING_SIZES [1,1]."""
+    return cfg.replace(sliding_window=True, pooling_size=(1, 1))

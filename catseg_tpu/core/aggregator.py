@@ -1,0 +1,483 @@
+"""Cost-volume aggregation: correlation, spatial (Swin) and class attention,
+and the guidance-conditioned upsampling decoder.
+
+TPU-first re-design of the reference Aggregator
+(cat_seg/modeling/transformer/model.py:558-725):
+
+- Activations live in channels-last layouts; the per-class batch (B*T) is the
+  leading dim so every stage is one large MXU-friendly batch.
+- The class-attention stage always runs at a *static* pad_len tokens: classes
+  are either top-k truncated (T > pad_len, model.py:694-702) before entry or
+  padded with the learnable padding token (model.py:397-410) — so XLA
+  compiles exactly one shape per benchmark.
+- Swin shift masks and window partitions are trace-time constants.
+- Linear class attention (elu+1 kernel, model.py:260-286) keeps the class
+  axis O(T); its KV/K-sum contractions are also the natural cut points for
+  class-axis model parallelism (see catseg_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import CATSegConfig
+from ..ops import (
+    avg_pool2d,
+    conv2d,
+    conv_transpose2d_nonoverlap,
+    group_norm,
+    layer_norm,
+    resize_bilinear,
+    window_partition,
+    window_reverse,
+)
+
+
+def _linear(x, w, b=None):
+    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch F.normalize semantics: x / max(||x||, eps)."""
+    n = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
+    return (x.astype(jnp.float32) / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def correlation(img_feats: jnp.ndarray, text_feats: jnp.ndarray) -> jnp.ndarray:
+    """Cosine cost volume (model.py:648-652).
+
+    img_feats: (B, H, W, C); text_feats: (B, T, P, C) -> (B, T, H, W, P).
+    """
+    img = l2_normalize(img_feats, axis=-1)
+    txt = l2_normalize(text_feats, axis=-1)
+    return jnp.einsum("bhwc,btpc->bthwp", img, txt, preferred_element_type=jnp.float32).astype(img.dtype)
+
+
+def topk_classes(corr: jnp.ndarray, pad_len: int) -> jnp.ndarray:
+    """Select the pad_len highest-scoring classes by max corr over (H, W, P)
+    (model.py:694-696).  Returns (B, pad_len) int32 indices."""
+    scores = jnp.max(corr.astype(jnp.float32), axis=(2, 3, 4))  # (B, T)
+    _, idx = jax.lax.top_k(scores, pad_len)
+    return idx
+
+
+def gather_classes(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather along the class axis (axis=1) with per-batch indices."""
+    expand = (slice(None), slice(None)) + (None,) * (x.ndim - 2)
+    return jnp.take_along_axis(x, idx[expand], axis=1)
+
+
+def scatter_full_logits(logits: jnp.ndarray, idx: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Scatter (B, pad_len, H, W) back into (B, T, H, W) filled with -100
+    (model.py:721-724)."""
+    B, _, H, W = logits.shape
+    out = jnp.full((B, num_classes, H, W), -100.0, dtype=logits.dtype)
+    return out.at[jnp.arange(B)[:, None], idx].set(logits)
+
+
+# ------------------------------------------------------------------ swin
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
+    """Additive (num_windows, N, N) mask for shifted-window attention
+    (model.py:161-179)."""
+    img = np.zeros((H, W))
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    nh, nw = H // window, W // window
+    wins = img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_attention(
+    x: jnp.ndarray,
+    bp: dict,
+    dim: int,
+    heads: int,
+    mask: np.ndarray | None,
+) -> jnp.ndarray:
+    """W-MSA over (nW*B, N, C+Cg): q/k read the guidance-concatenated input,
+    v reads only the first ``dim`` channels (model.py:94-96)."""
+    Bw, N, _ = x.shape
+    D = dim // heads
+    q = _linear(x, bp["q_w"], bp["q_b"]).reshape(Bw, N, heads, D)
+    k = _linear(x, bp["k_w"], bp["k_b"]).reshape(Bw, N, heads, D)
+    v = _linear(x[..., :dim], bp["v_w"], bp["v_b"]).reshape(Bw, N, heads, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (D**-0.5), k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        nW = mask.shape[0]
+        logits = logits.reshape(Bw // nW, nW, heads, N, N) + jnp.asarray(mask)[None, :, None]
+        logits = logits.reshape(Bw, heads, N, N)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(Bw, N, dim)
+    return _linear(out, bp["proj_w"], bp["proj_b"])
+
+
+def _swin_block(
+    x: jnp.ndarray,
+    guidance: jnp.ndarray | None,
+    bp: dict,
+    cfg: CATSegConfig,
+    shift: int,
+) -> jnp.ndarray:
+    """One Swin block over (BT, H, W, C) with guidance concat on q/k inputs
+    (model.py:185-225)."""
+    BT, H, W, C = x.shape
+    window = cfg.window_size
+    shortcut = x
+    x = layer_norm(x, bp["norm1"]["g"], bp["norm1"]["b"])
+    if guidance is not None:
+        x = jnp.concatenate([x, guidance], axis=-1)
+    if shift > 0:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    wins = window_partition(x, window)
+    mask = _shift_mask(H, W, window, shift) if shift > 0 else None
+    wins = _window_attention(wins, bp, C, cfg.num_heads, mask)
+    x = window_reverse(wins, window, H, W)
+    if shift > 0:
+        x = jnp.roll(x, (shift, shift), axis=(1, 2))
+    x = shortcut + x
+    y = layer_norm(x, bp["norm2"]["g"], bp["norm2"]["b"])
+    y = _linear(jax.nn.gelu(_linear(y, bp["fc1_w"], bp["fc1_b"]), approximate=False), bp["fc2_w"], bp["fc2_b"])
+    return x + y
+
+
+def spatial_aggregation(
+    x: jnp.ndarray,
+    appearance_guidance: jnp.ndarray | None,
+    layer: dict,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Swin pair (shift 0 then window/2) on the (B*T) spatial batch
+    (model.py:228-253).  x: (B, T, H, W, C); guidance: (B, H, W, Cg)."""
+    B, T, H, W, C = x.shape
+    x = x.reshape(B * T, H, W, C)
+    guid = None
+    if appearance_guidance is not None:
+        guid = layer_norm(appearance_guidance, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
+        guid = jnp.broadcast_to(guid[:, None], (B, T) + guid.shape[1:]).reshape(B * T, H, W, -1)
+    x = _swin_block(x, guid, layer["swin1"], cfg, shift=0)
+    x = _swin_block(x, guid, layer["swin2"], cfg, shift=cfg.window_size // 2)
+    return x.reshape(B, T, H, W, C)
+
+
+# ---------------------------------------------------------- class attention
+
+
+def _linear_attention(q, k, v, eps: float = 1e-6):
+    """Kernelized attention, elu+1 feature map (model.py:260-286).
+
+    q: (N, L, H, D); k, v: (N, S, H, D).  O(S) in the class count; the KV and
+    K-sum contractions psum cleanly when the S axis is sharded.
+    """
+    Q = jax.nn.elu(q.astype(jnp.float32)) + 1.0
+    K = jax.nn.elu(k.astype(jnp.float32)) + 1.0
+    S = v.shape[1]
+    v32 = v.astype(jnp.float32) / S
+    KV = jnp.einsum("nshd,nshv->nhdv", K, v32)
+    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
+    out = jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * S
+    return out.astype(q.dtype)
+
+
+def _full_attention(q, k, v):
+    """Softmax attention over the class axis (model.py:289-320)."""
+    D = q.shape[-1]
+    logits = jnp.einsum("nlhd,nshd->nlsh", q, k, preferred_element_type=jnp.float32) * (D**-0.5)
+    attn = jax.nn.softmax(logits, axis=2).astype(q.dtype)
+    return jnp.einsum("nlsh,nshd->nlhd", attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _class_attention_inner(x: jnp.ndarray, guidance: jnp.ndarray | None, cp: dict, cfg: CATSegConfig) -> jnp.ndarray:
+    """AttentionLayer (model.py:323-354): q/k see text guidance concat, v does not.
+
+    x: (N, T, C); guidance: (N, T, Cg) or None.
+    """
+    heads = cfg.num_heads
+    xin = x if guidance is None else jnp.concatenate([x, guidance.astype(x.dtype)], axis=-1)
+    N, T, _ = x.shape
+    q = _linear(xin, cp["q_w"], cp["q_b"]).reshape(N, T, heads, -1)
+    k = _linear(xin, cp["k_w"], cp["k_b"]).reshape(N, T, heads, -1)
+    v = _linear(x, cp["v_w"], cp["v_b"]).reshape(N, T, heads, -1)
+    if cfg.attention_type == "linear":
+        out = _linear_attention(q, k, v)
+    elif cfg.attention_type == "full":
+        out = _full_attention(q, k, v)
+    else:
+        raise NotImplementedError(cfg.attention_type)
+    return out.reshape(N, T, -1)
+
+
+def class_aggregation(
+    x: jnp.ndarray,
+    text_guidance: jnp.ndarray | None,
+    layer: dict,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """ClassTransformerLayer (model.py:357-424).
+
+    x: (B, T, H, W, C); text_guidance: (B, T, Cg).  Pools spatially, pads the
+    class axis to pad_len with the learnable token, attends across classes at
+    every pooled position, MLPs, upsamples back (bilinear, align_corners=True)
+    and adds residually.
+    """
+    cp = layer["class"]
+    B, T, H, W, C = x.shape
+    ph, pw = cfg.pooling_size
+    xp = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    xp = xp.reshape(B, T, Hp, Wp, C)
+
+    pad = cfg.pad_len - T if cfg.pad_len > 0 else 0
+    if pad > 0:
+        pad_tok = jnp.broadcast_to(cp["padding_tokens"].astype(xp.dtype), (B, pad, Hp, Wp, C))
+        xp = jnp.concatenate([xp, pad_tok], axis=1)
+        if text_guidance is not None:
+            pad_guid = jnp.broadcast_to(
+                cp["padding_guidance"].astype(text_guidance.dtype), (B, pad, text_guidance.shape[-1])
+            )
+            text_guidance = jnp.concatenate([text_guidance, pad_guid], axis=1)
+    Tp = xp.shape[1]
+
+    # (B, Tp, Hp, Wp, C) -> (B*Hp*Wp, Tp, C)
+    seq = xp.transpose(0, 2, 3, 1, 4).reshape(B * Hp * Wp, Tp, C)
+    guid = None
+    if text_guidance is not None:
+        guid = jnp.broadcast_to(text_guidance[:, None], (B, Hp * Wp, Tp, text_guidance.shape[-1]))
+        guid = guid.reshape(B * Hp * Wp, Tp, -1)
+
+    normed = layer_norm(seq, cp["norm1"]["g"], cp["norm1"]["b"])
+    seq = seq + _class_attention_inner(normed, guid, cp, cfg)
+    normed = layer_norm(seq, cp["norm2"]["g"], cp["norm2"]["b"])
+    seq = seq + _linear(jax.nn.relu(_linear(normed, cp["mlp1_w"], cp["mlp1_b"])), cp["mlp2_w"], cp["mlp2_b"])
+
+    out = seq.reshape(B, Hp, Wp, Tp, C).transpose(0, 3, 1, 2, 4)[:, :T]  # drop padding
+    out = out.reshape(B * T, Hp, Wp, C)
+    out = resize_bilinear(out, (H, W), align_corners=True)
+    return x + out.reshape(B, T, H, W, C)
+
+
+# ------------------------------------------------------------------ decoder
+
+
+def _double_conv(x: jnp.ndarray, dp: dict) -> jnp.ndarray:
+    """(conv3x3 -> GroupNorm(C/16) -> ReLU) x2 (model.py:520-537)."""
+    mid = dp["conv1_w"].shape[-1]
+    x = conv2d(x, dp["conv1_w"], None, padding=1)
+    x = jax.nn.relu(group_norm(x, mid // 16, dp["gn1"]["g"], dp["gn1"]["b"]))
+    x = conv2d(x, dp["conv2_w"], None, padding=1)
+    x = jax.nn.relu(group_norm(x, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
+    return x
+
+
+def _up(x: jnp.ndarray, guidance: jnp.ndarray | None, dp: dict) -> jnp.ndarray:
+    """ConvT(k2 s2) -> concat projected guidance (broadcast over T) -> DoubleConv
+    (model.py:540-555)."""
+    x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
+    if guidance is not None:
+        T = x.shape[0] // guidance.shape[0]
+        g = jnp.broadcast_to(guidance[:, None], (guidance.shape[0], T) + guidance.shape[1:])
+        g = g.reshape(x.shape[0], *guidance.shape[1:])
+        x = jnp.concatenate([x, g.astype(x.dtype)], axis=-1)
+    return _double_conv(x, dp)
+
+
+def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:
+    """(B, T, 24, 24, C) -> (B, T, 96, 96) per-class logits (model.py:674-681)."""
+    B, T, H, W, C = x.shape
+    x = x.reshape(B * T, H, W, C)
+    x = _up(x, guidance[0], agg["decoder1"])
+    x = _up(x, guidance[1], agg["decoder2"])
+    x = conv2d(x, agg["head"]["w"], agg["head"]["b"], padding=1)
+    return x.reshape(B, T, x.shape[1], x.shape[2]).astype(jnp.float32)
+
+
+# ------------------------------------------------------------------ forward
+
+
+def corr_embed(corr: jnp.ndarray, agg: dict) -> jnp.ndarray:
+    """Per-class 7x7 conv embedding P -> hidden (model.py:613,654-659).
+
+    corr: (B, T, H, W, P) -> (B, T, H, W, C)."""
+    B, T, H, W, P = corr.shape
+    x = conv2d(corr.reshape(B * T, H, W, P), agg["conv1"]["w"], agg["conv1"]["b"], padding=3)
+    return x.reshape(B, T, H, W, -1)
+
+
+def aggregator_forward(
+    agg: dict,
+    img_feats: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    appearance_guidance: tuple,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Full Aggregator forward (model.py:683-725).
+
+    img_feats: (B, 24, 24, C_embed); text_feats: (B, T, P, C_embed);
+    appearance_guidance: (res3 (B,24,24,Cg), res4 (B,48,48,256), res5 (B,96,96,128)).
+    Returns (B, T, 96, 96) fp32 logits; when T > pad_len only the top-k
+    classes are aggregated, the rest receive -100.
+    """
+    T = text_feats.shape[1]
+    corr = correlation(img_feats, text_feats)
+
+    classes = None
+    if cfg.pad_len > 0 and T > cfg.pad_len:
+        classes = topk_classes(corr, cfg.pad_len)
+        corr = gather_classes(corr, classes)
+        text_feats = gather_classes(l2_normalize(text_feats, axis=-1), classes)
+
+    x = corr_embed(corr, agg)
+
+    proj_guid = None
+    if "guidance_proj" in agg:
+        proj_guid = jax.nn.relu(conv2d(appearance_guidance[0], agg["guidance_proj"]["w"], agg["guidance_proj"]["b"], padding=1))
+    dec_guid = [None, None]
+    if "decoder_guidance_proj" in agg:
+        dec_guid = [
+            jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
+            for p, g in zip(agg["decoder_guidance_proj"], appearance_guidance[1:])
+        ]
+    text_guid = None
+    if "text_guidance_proj" in agg:
+        tf = jnp.mean(text_feats.astype(jnp.float32), axis=-2)
+        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+        text_guid = jax.nn.relu(_linear(tf.astype(x.dtype), agg["text_guidance_proj"]["w"], agg["text_guidance_proj"]["b"]))
+
+    for layer in agg["layers"]:
+        x = spatial_aggregation(x, proj_guid, layer, cfg)
+        x = class_aggregation(x, text_guid, layer, cfg)
+
+    logits = conv_decoder(x, dec_guid, agg)
+    if classes is not None:
+        logits = scatter_full_logits(logits, classes, T)
+    return logits
+
+
+# ------------------------------------------------------------------ init
+
+
+def _init_linear(rng, fan_in, fan_out, bias=True):
+    k1, k2 = jax.random.split(rng)
+    bound = (1.0 / fan_in) ** 0.5
+    p = {"w": jax.random.uniform(k1, (fan_in, fan_out), minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (fan_out,), minval=-bound, maxval=bound)
+    return p
+
+
+def _init_conv(rng, kh, kw, cin, cout, bias=True):
+    k1, k2 = jax.random.split(rng)
+    fan_in = kh * kw * cin
+    bound = (1.0 / fan_in) ** 0.5
+    p = {"w": jax.random.uniform(k1, (kh, kw, cin, cout), minval=-bound, maxval=bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), minval=-bound, maxval=bound)
+    return p
+
+
+def _init_swin_block(rng, dim, guid_dim, mlp_ratio=4):
+    ks = jax.random.split(rng, 6)
+    qk = _init_linear(ks[0], dim + guid_dim, dim)
+    kk = _init_linear(ks[1], dim + guid_dim, dim)
+    vv = _init_linear(ks[2], dim, dim)
+    proj = _init_linear(ks[3], dim, dim)
+    fc1 = _init_linear(ks[4], dim, dim * mlp_ratio)
+    fc2 = _init_linear(ks[5], dim * mlp_ratio, dim)
+    return {
+        "norm1": {"g": jnp.ones(dim), "b": jnp.zeros(dim)},
+        "q_w": qk["w"], "q_b": qk["b"],
+        "k_w": kk["w"], "k_b": kk["b"],
+        "v_w": vv["w"], "v_b": vv["b"],
+        "proj_w": proj["w"], "proj_b": proj["b"],
+        "norm2": {"g": jnp.ones(dim), "b": jnp.zeros(dim)},
+        "fc1_w": fc1["w"], "fc1_b": fc1["b"],
+        "fc2_w": fc2["w"], "fc2_b": fc2["b"],
+    }
+
+
+def _init_class_layer(rng, dim, guid_dim, pad_len):
+    ks = jax.random.split(rng, 5)
+    q = _init_linear(ks[0], dim + guid_dim, dim)
+    k = _init_linear(ks[1], dim + guid_dim, dim)
+    v = _init_linear(ks[2], dim, dim)
+    m1 = _init_linear(ks[3], dim, dim * 4)
+    m2 = _init_linear(ks[4], dim * 4, dim)
+    out = {
+        "norm1": {"g": jnp.ones(dim), "b": jnp.zeros(dim)},
+        "norm2": {"g": jnp.ones(dim), "b": jnp.zeros(dim)},
+        "q_w": q["w"], "q_b": q["b"],
+        "k_w": k["w"], "k_b": k["b"],
+        "v_w": v["w"], "v_b": v["b"],
+        "mlp1_w": m1["w"], "mlp1_b": m1["b"],
+        "mlp2_w": m2["w"], "mlp2_b": m2["b"],
+    }
+    if pad_len > 0:
+        out["padding_tokens"] = jnp.zeros(dim)
+        if guid_dim > 0:
+            out["padding_guidance"] = jnp.zeros(guid_dim)
+    return out
+
+
+def init_aggregator_params(rng, cfg: CATSegConfig) -> dict:
+    hd = cfg.hidden_dim
+    ks = jax.random.split(rng, 12)
+    agg: dict = {
+        "conv1": _init_conv(ks[0], 7, 7, cfg.prompt_channel, hd),
+        "head": _init_conv(ks[1], 3, 3, cfg.decoder_dims[1], 1),
+    }
+    if cfg.appearance_guidance_dim > 0:
+        agg["guidance_proj"] = _init_conv(ks[2], 3, 3, cfg.appearance_guidance_dim, cfg.appearance_guidance_proj_dim)
+    if cfg.text_guidance_dim > 0:
+        agg["text_guidance_proj"] = _init_linear(ks[3], cfg.text_guidance_dim, cfg.text_guidance_proj_dim)
+    if cfg.decoder_guidance_dims[0] > 0:
+        agg["decoder_guidance_proj"] = [
+            _init_conv(k, 3, 3, d, dp)
+            for k, d, dp in zip(jax.random.split(ks[4], 2), cfg.decoder_guidance_dims, cfg.decoder_guidance_proj_dims)
+        ]
+    layers = []
+    for k in jax.random.split(ks[5], cfg.num_layers):
+        k1, k2, k3 = jax.random.split(k, 3)
+        layers.append(
+            {
+                "swin1": _init_swin_block(k1, hd, cfg.appearance_guidance_proj_dim),
+                "swin2": _init_swin_block(k2, hd, cfg.appearance_guidance_proj_dim),
+                "guidance_norm": {
+                    "g": jnp.ones(cfg.appearance_guidance_proj_dim),
+                    "b": jnp.zeros(cfg.appearance_guidance_proj_dim),
+                },
+                "class": _init_class_layer(k3, hd, cfg.text_guidance_proj_dim, cfg.pad_len),
+            }
+        )
+    agg["layers"] = layers
+
+    def _up_params(rng, cin, cout, guid):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        upc = cin - guid
+        fan_in = cin  # torch ConvT fan_in is Cin * k * k / groups... uses Cin*k*k
+        bound = (1.0 / (cin * 4)) ** 0.5
+        return {
+            "up_w": jax.random.uniform(k1, (cin, 2, 2, upc), minval=-bound, maxval=bound),
+            "up_b": jax.random.uniform(k1, (upc,), minval=-bound, maxval=bound),
+            "conv1_w": _init_conv(k2, 3, 3, cin, cout, bias=False)["w"],
+            "gn1": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
+            "conv2_w": _init_conv(k3, 3, 3, cout, cout, bias=False)["w"],
+            "gn2": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
+        }
+
+    agg["decoder1"] = _up_params(ks[6], hd, cfg.decoder_dims[0], cfg.decoder_guidance_proj_dims[0])
+    agg["decoder2"] = _up_params(ks[7], cfg.decoder_dims[0], cfg.decoder_dims[1], cfg.decoder_guidance_proj_dims[1])
+    return agg

@@ -1,0 +1,251 @@
+"""OpenAI-style CLIP encoders as pure functions over parameter pytrees.
+
+Reproduces the behavior of the reference's vendored VPT-capable CLIP
+(cat_seg/third_party/model_vpt.py) the TPU way:
+
+- transformer blocks are *stacked* along a leading layer axis and driven by
+  ``lax.scan`` (one compiled block body instead of L unrolled copies);
+  guidance taps split the scan into segments so intermediate activations are
+  captured without materializing every layer;
+- the final visual block uses the "dense trick" (model_vpt.py:219-240): only
+  the value path + out-projection is computed, with the *pre-block CLS row*
+  broadcast as the residual — yielding per-patch embeddings aligned with CLS
+  semantics;
+- positional embeddings are bicubically resized in-graph when the input grid
+  differs from the pretrain grid (model_vpt.py:294-297,316-329) — they are
+  finetuned parameters, so the resize must stay differentiable;
+- LayerNorm statistics and attention softmax run in float32; matmuls run in
+  the configured compute dtype (bfloat16 on TPU) with fp32 accumulation.
+
+Parameter layout: linear weights are (in, out); conv weights HWIO.  The
+torch-checkpoint converter (catseg_tpu.weights.convert) produces this layout,
+including the reference's split q/k/v projection names
+(model_vpt.py:169-183).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import CLIPVariant
+from ..ops import layer_norm, resize_bicubic
+from ..ops.conv import patchify
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _linear(x, w, b=None):
+    y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _mha(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Multi-head self-attention over (B, T, W) with fp32 softmax."""
+    B, T, W = x.shape
+    D = W // heads
+    q = _linear(x, bp["q_w"], bp["q_b"]).reshape(B, T, heads, D)
+    k = _linear(x, bp["k_w"], bp["k_b"]).reshape(B, T, heads, D)
+    v = _linear(x, bp["v_w"], bp["v_b"]).reshape(B, T, heads, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / np.sqrt(D))
+    if mask is not None:
+        logits = logits + mask
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(B, T, W)
+    return _linear(out, bp["out_w"], bp["out_b"])
+
+
+def _mlp(x: jnp.ndarray, bp: dict) -> jnp.ndarray:
+    return _linear(quick_gelu(_linear(x, bp["fc_w"], bp["fc_b"])), bp["proj_w"], bp["proj_b"])
+
+
+def _block(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None) -> jnp.ndarray:
+    x = x + _mha(layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp, heads, mask)
+    x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+    return x
+
+
+def _scan_blocks(x: jnp.ndarray, stacked: dict, heads: int, mask: jnp.ndarray | None) -> jnp.ndarray:
+    """Run a stack of identical blocks with one compiled body."""
+
+    def body(carry, bp):
+        return _block(carry, bp, heads, mask), None
+
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+def _slice_layers(stacked: dict, start: int, stop: int) -> dict:
+    return jax.tree.map(lambda a: a[start:stop], stacked)
+
+
+def _layer(stacked: dict, i: int) -> dict:
+    return jax.tree.map(lambda a: a[i], stacked)
+
+
+def _dense_final_block(x: jnp.ndarray, bp: dict) -> jnp.ndarray:
+    """The dense trick (model_vpt.py:219-240): value path + out-proj only,
+    residual is the pre-block CLS row broadcast over all tokens."""
+    y = layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"])
+    v = _linear(y, bp["v_w"], bp["v_b"])
+    v = _linear(v, bp["out_w"], bp["out_b"])
+    v = v + x[:, :1]
+    v = v + _mlp(layer_norm(v, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+    return v
+
+
+def resized_pos_embed(pe: jnp.ndarray, pretrain_grid: int, grid: int) -> jnp.ndarray:
+    """Bicubic grid resize of a (1 + S², W) positional embedding."""
+    if grid == pretrain_grid:
+        return pe
+    W = pe.shape[-1]
+    cls_pos = pe[:1]
+    grid_pos = pe[1:].reshape(1, pretrain_grid, pretrain_grid, W)
+    grid_pos = resize_bicubic(grid_pos.astype(jnp.float32), (grid, grid))
+    return jnp.concatenate([cls_pos, grid_pos.reshape(grid * grid, W).astype(pe.dtype)], axis=0)
+
+
+def encode_image(
+    params: dict,
+    images: jnp.ndarray,
+    variant: CLIPVariant,
+    dense: bool = True,
+    taps: tuple[int, ...] = (),
+    compute_dtype=jnp.float32,
+):
+    """Dense CLIP image encoding.
+
+    Args:
+      params: ``params['visual']`` subtree.
+      images: (B, H, W, 3) normalized images, H == W, divisible by patch.
+      taps: indices of transformer blocks whose *outputs* to also return
+        (the reference grabs these with forward hooks, cat_seg_model.py:84-87).
+
+    Returns:
+      (tokens, tapped): tokens (B, 1+G², embed_dim) after ln_post+proj (all
+      tokens when dense, matching encode_image(..., dense=True)); tapped is a
+      list of (B, 1+G², width) block outputs for each requested tap.
+    """
+    p = params["visual"]
+    B, H, _, _ = images.shape
+    grid = H // variant.patch
+
+    x = patchify(images.astype(compute_dtype), p["conv1_w"], variant.patch)
+    cls_tok = jnp.broadcast_to(p["class_embedding"].astype(compute_dtype), (B, 1, variant.width))
+    x = jnp.concatenate([cls_tok, x], axis=1)
+    pe = resized_pos_embed(p["positional_embedding"], variant.pretrain_grid, grid)
+    x = x + pe.astype(compute_dtype)
+    x = layer_norm(x, p["ln_pre"]["g"], p["ln_pre"]["b"])
+
+    blocks = p["blocks"]
+    n = variant.layers
+    bounds = sorted(set(t + 1 for t in taps)) + [n - 1]
+    tapped_by_index = {}
+    start = 0
+    for stop in bounds:
+        if stop > start:
+            x = _scan_blocks(x, _slice_layers(blocks, start, stop), variant.heads, None)
+        tapped_by_index[stop - 1] = x
+        start = stop
+
+    if dense:
+        x = _dense_final_block(x, _layer(blocks, n - 1))
+    else:
+        x = _block(x, _layer(blocks, n - 1), variant.heads, None)
+
+    x = layer_norm(x, p["ln_post"]["g"], p["ln_post"]["b"])
+    if not dense:
+        x = x[:, 0]
+    x = _linear(x, p["proj"])
+    tapped = [tapped_by_index[t] for t in taps]
+    return x, tapped
+
+
+@functools.lru_cache(maxsize=4)
+def _causal_mask(T: int):
+    mask = np.triu(np.full((T, T), -np.inf, dtype=np.float32), k=1)
+    return jnp.asarray(mask)
+
+
+def encode_text(
+    params: dict,
+    token_ids: jnp.ndarray,
+    variant: CLIPVariant,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Text encoding with causal mask and EOT pooling (model_vpt.py:421-438).
+
+    token_ids: (N, context) int32.  Returns (N, embed_dim).
+    """
+    p = params["text"]
+    x = p["token_embedding"][token_ids].astype(compute_dtype)
+    x = x + p["positional_embedding"].astype(compute_dtype)
+    x = _scan_blocks(x, p["blocks"], variant.text_heads, _causal_mask(token_ids.shape[-1]))
+    x = layer_norm(x, p["ln_final"]["g"], p["ln_final"]["b"])
+    eot = jnp.argmax(token_ids, axis=-1)
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return _linear(pooled, p["text_projection"])
+
+
+# ---------------------------------------------------------------- init
+
+
+def _init_block(rng, width: int) -> dict:
+    ks = jax.random.split(rng, 6)
+    attn_std = width**-0.5
+    fc_std = (2 * width) ** -0.5
+    proj_std = width**-0.5  # single-model init; torch scales by layers, immaterial here
+    return {
+        "q_w": jax.random.normal(ks[0], (width, width)) * attn_std,
+        "k_w": jax.random.normal(ks[1], (width, width)) * attn_std,
+        "v_w": jax.random.normal(ks[2], (width, width)) * attn_std,
+        "q_b": jnp.zeros(width),
+        "k_b": jnp.zeros(width),
+        "v_b": jnp.zeros(width),
+        "out_w": jax.random.normal(ks[3], (width, width)) * proj_std,
+        "out_b": jnp.zeros(width),
+        "fc_w": jax.random.normal(ks[4], (width, 4 * width)) * fc_std,
+        "fc_b": jnp.zeros(4 * width),
+        "proj_w": jax.random.normal(ks[5], (4 * width, width)) * proj_std,
+        "proj_b": jnp.zeros(width),
+        "ln_1": {"g": jnp.ones(width), "b": jnp.zeros(width)},
+        "ln_2": {"g": jnp.ones(width), "b": jnp.zeros(width)},
+    }
+
+
+def _stack_blocks(rng, n: int, width: int) -> dict:
+    blocks = [_init_block(k, width) for k in jax.random.split(rng, n)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_clip_params(rng, variant: CLIPVariant) -> dict:
+    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
+    w = variant.width
+    scale = w**-0.5
+    visual = {
+        "conv1_w": jax.random.normal(k1, (variant.patch, variant.patch, 3, w)) * scale,
+        "class_embedding": jax.random.normal(k2, (w,)) * scale,
+        "positional_embedding": jax.random.normal(k3, (variant.pretrain_grid**2 + 1, w)) * scale,
+        "ln_pre": {"g": jnp.ones(w), "b": jnp.zeros(w)},
+        "blocks": _stack_blocks(kv, variant.layers, w),
+        "ln_post": {"g": jnp.ones(w), "b": jnp.zeros(w)},
+        "proj": jax.random.normal(k4, (w, variant.embed_dim)) * scale,
+    }
+    tw = variant.text_width
+    text = {
+        "token_embedding": jax.random.normal(k5, (variant.vocab_size, tw)) * 0.02,
+        "positional_embedding": jax.random.normal(k5, (variant.context, tw)) * 0.01,
+        "blocks": _stack_blocks(kt, variant.text_layers, tw),
+        "ln_final": {"g": jnp.ones(tw), "b": jnp.zeros(tw)},
+        "text_projection": jax.random.normal(k5, (tw, variant.embed_dim)) * tw**-0.5,
+    }
+    return {"visual": visual, "text": text, "logit_scale": jnp.zeros(())}

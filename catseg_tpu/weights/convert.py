@@ -1,0 +1,251 @@
+"""torch checkpoint -> parameter-pytree conversion.
+
+Maps the exact key names of (a) OpenAI CLIP state dicts (as rebuilt by the
+reference loader, cat_seg/third_party/clip.py:70-134 — including the split
+``q_proj_weight/k_proj_weight/v_proj_weight`` introduced by the Attention
+subclass, model_vpt.py:169-183) and (b) full released CAT-Seg checkpoints
+(``model_base.pth`` / ``model_large.pth``: ``{"model": state_dict, ...}``
+with ``sem_seg_head.predictor.*`` / ``upsample{1,2}.*`` prefixes) into this
+framework's pytrees.
+
+Layout conventions: linear (in, out); conv HWIO; conv-transpose
+(Cin, kh, kw, Cout); transformer blocks stacked on a leading layer axis.
+Everything is pure numpy — no torch import needed when fed arrays (a helper
+loads .pth via torch CPU when available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear (out, in) -> (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _convt(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (Cin, Cout, kh, kw) -> (Cin, kh, kw, Cout)."""
+    return np.ascontiguousarray(np.transpose(w, (0, 2, 3, 1)))
+
+
+def _ln(sd: dict, prefix: str) -> dict:
+    return {"g": sd[prefix + ".weight"], "b": sd[prefix + ".bias"]}
+
+
+def _attn_qkv(sd: dict, prefix: str) -> dict:
+    """Handle both fused in_proj and split q/k/v projection weights."""
+    out = {}
+    if prefix + ".in_proj_weight" in sd:
+        w = sd[prefix + ".in_proj_weight"]
+        b = sd[prefix + ".in_proj_bias"]
+        d = w.shape[0] // 3
+        qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
+    else:
+        qw = sd[prefix + ".q_proj_weight"]
+        kw = sd[prefix + ".k_proj_weight"]
+        vw = sd[prefix + ".v_proj_weight"]
+        b = sd[prefix + ".in_proj_bias"]
+        d = qw.shape[0]
+    out["q_w"], out["k_w"], out["v_w"] = _t(qw), _t(kw), _t(vw)
+    out["q_b"], out["k_b"], out["v_b"] = b[:d], b[d : 2 * d], b[2 * d :]
+    out["out_w"] = _t(sd[prefix + ".out_proj.weight"])
+    out["out_b"] = sd[prefix + ".out_proj.bias"]
+    return out
+
+
+def _clip_block(sd: dict, prefix: str) -> dict:
+    bp = _attn_qkv(sd, prefix + ".attn")
+    bp["ln_1"] = _ln(sd, prefix + ".ln_1")
+    bp["ln_2"] = _ln(sd, prefix + ".ln_2")
+    bp["fc_w"] = _t(sd[prefix + ".mlp.c_fc.weight"])
+    bp["fc_b"] = sd[prefix + ".mlp.c_fc.bias"]
+    bp["proj_w"] = _t(sd[prefix + ".mlp.c_proj.weight"])
+    bp["proj_b"] = sd[prefix + ".mlp.c_proj.bias"]
+    return bp
+
+
+def _stack(blocks: list[dict]) -> dict:
+    out = {}
+    for key in blocks[0]:
+        if isinstance(blocks[0][key], dict):
+            out[key] = _stack([b[key] for b in blocks])
+        else:
+            out[key] = np.stack([np.asarray(b[key], dtype=np.float32) for b in blocks])
+    return out
+
+
+def _count_layers(sd: dict, stem: str) -> int:
+    n = -1
+    probe = f"{stem}.resblocks."
+    for k in sd:
+        if k.startswith(probe):
+            n = max(n, int(k[len(probe) :].split(".")[0]))
+    return n + 1
+
+
+def convert_clip_state_dict(sd: dict) -> dict:
+    """OpenAI CLIP state dict (numpy values, no prefix) -> clip pytree."""
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    n_vis = _count_layers(sd, "visual.transformer")
+    n_txt = _count_layers(sd, "transformer")
+    visual = {
+        "conv1_w": _conv(sd["visual.conv1.weight"]),
+        "class_embedding": sd["visual.class_embedding"],
+        "positional_embedding": sd["visual.positional_embedding"],
+        "ln_pre": _ln(sd, "visual.ln_pre"),
+        "blocks": _stack([_clip_block(sd, f"visual.transformer.resblocks.{i}") for i in range(n_vis)]),
+        "ln_post": _ln(sd, "visual.ln_post"),
+        "proj": sd["visual.proj"],
+    }
+    text = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": sd["positional_embedding"],
+        "blocks": _stack([_clip_block(sd, f"transformer.resblocks.{i}") for i in range(n_txt)]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": sd["text_projection"],
+    }
+    return {"visual": visual, "text": text, "logit_scale": np.asarray(sd.get("logit_scale", 0.0), dtype=np.float32)}
+
+
+# --------------------------------------------------------------- aggregator
+
+
+def _swin_block(sd: dict, prefix: str) -> dict:
+    return {
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "q_w": _t(sd[prefix + ".attn.q.weight"]),
+        "q_b": sd[prefix + ".attn.q.bias"],
+        "k_w": _t(sd[prefix + ".attn.k.weight"]),
+        "k_b": sd[prefix + ".attn.k.bias"],
+        "v_w": _t(sd[prefix + ".attn.v.weight"]),
+        "v_b": sd[prefix + ".attn.v.bias"],
+        "proj_w": _t(sd[prefix + ".attn.proj.weight"]),
+        "proj_b": sd[prefix + ".attn.proj.bias"],
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "fc1_w": _t(sd[prefix + ".mlp.fc1.weight"]),
+        "fc1_b": sd[prefix + ".mlp.fc1.bias"],
+        "fc2_w": _t(sd[prefix + ".mlp.fc2.weight"]),
+        "fc2_b": sd[prefix + ".mlp.fc2.bias"],
+    }
+
+
+def _class_layer(sd: dict, prefix: str) -> dict:
+    out = {
+        "norm1": _ln(sd, prefix + ".norm1"),
+        "norm2": _ln(sd, prefix + ".norm2"),
+        "q_w": _t(sd[prefix + ".attention.q.weight"]),
+        "q_b": sd[prefix + ".attention.q.bias"],
+        "k_w": _t(sd[prefix + ".attention.k.weight"]),
+        "k_b": sd[prefix + ".attention.k.bias"],
+        "v_w": _t(sd[prefix + ".attention.v.weight"]),
+        "v_b": sd[prefix + ".attention.v.bias"],
+        "mlp1_w": _t(sd[prefix + ".MLP.0.weight"]),
+        "mlp1_b": sd[prefix + ".MLP.0.bias"],
+        "mlp2_w": _t(sd[prefix + ".MLP.2.weight"]),
+        "mlp2_b": sd[prefix + ".MLP.2.bias"],
+    }
+    if prefix + ".padding_tokens" in sd:
+        out["padding_tokens"] = sd[prefix + ".padding_tokens"].reshape(-1)
+    if prefix + ".padding_guidance" in sd:
+        out["padding_guidance"] = sd[prefix + ".padding_guidance"].reshape(-1)
+    return out
+
+
+def _double_conv(sd: dict, prefix: str) -> dict:
+    return {
+        "conv1_w": _conv(sd[prefix + ".double_conv.0.weight"]),
+        "gn1": _ln(sd, prefix + ".double_conv.1"),
+        "conv2_w": _conv(sd[prefix + ".double_conv.3.weight"]),
+        "gn2": _ln(sd, prefix + ".double_conv.4"),
+    }
+
+
+def _up(sd: dict, prefix: str) -> dict:
+    out = {"up_w": _convt(sd[prefix + ".up.weight"]), "up_b": sd[prefix + ".up.bias"]}
+    out.update(_double_conv(sd, prefix + ".conv"))
+    return out
+
+
+def convert_aggregator_state_dict(sd: dict, num_layers: int) -> dict:
+    """Aggregator (cat_seg/modeling/transformer/model.py:558) state dict ->
+    aggregator pytree.  ``sd`` keys are unprefixed (conv1.weight, ...)."""
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    agg: dict = {
+        "conv1": {"w": _conv(sd["conv1.weight"]), "b": sd["conv1.bias"]},
+        "decoder1": _up(sd, "decoder1"),
+        "decoder2": _up(sd, "decoder2"),
+        "head": {"w": _conv(sd["head.weight"]), "b": sd["head.bias"]},
+    }
+    if "guidance_projection.0.weight" in sd:
+        agg["guidance_proj"] = {
+            "w": _conv(sd["guidance_projection.0.weight"]),
+            "b": sd["guidance_projection.0.bias"],
+        }
+    if "text_guidance_projection.0.weight" in sd:
+        agg["text_guidance_proj"] = {
+            "w": _t(sd["text_guidance_projection.0.weight"]),
+            "b": sd["text_guidance_projection.0.bias"],
+        }
+    if "decoder_guidance_projection.0.0.weight" in sd:
+        agg["decoder_guidance_proj"] = [
+            {
+                "w": _conv(sd[f"decoder_guidance_projection.{i}.0.weight"]),
+                "b": sd[f"decoder_guidance_projection.{i}.0.bias"],
+            }
+            for i in range(2)
+        ]
+    layers = []
+    for i in range(num_layers):
+        layers.append(
+            {
+                "swin1": _swin_block(sd, f"layers.{i}.swin_block.block_1"),
+                "swin2": _swin_block(sd, f"layers.{i}.swin_block.block_2"),
+                "guidance_norm": _ln(sd, f"layers.{i}.swin_block.guidance_norm"),
+                "class": _class_layer(sd, f"layers.{i}.attention"),
+            }
+        )
+    agg["layers"] = layers
+    return agg
+
+
+def convert_catseg_checkpoint(sd: dict, num_layers: int = 2) -> dict:
+    """Full released-checkpoint state dict -> CATSeg params pytree.
+
+    ``sd``: flat dict of numpy arrays with the detectron2 key names (pass
+    ``torch.load(path, map_location='cpu')['model']`` through numpy first).
+    """
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    clip_sd = {
+        k[len("sem_seg_head.predictor.clip_model.") :]: v
+        for k, v in sd.items()
+        if k.startswith("sem_seg_head.predictor.clip_model.")
+    }
+    agg_sd = {
+        k[len("sem_seg_head.predictor.transformer.") :]: v
+        for k, v in sd.items()
+        if k.startswith("sem_seg_head.predictor.transformer.")
+    }
+    # drop non-parameter buffers (swin attn_mask is recomputed statically)
+    agg_sd = {k: v for k, v in agg_sd.items() if not k.endswith("attn_mask")}
+    return {
+        "clip": convert_clip_state_dict(clip_sd),
+        "agg": convert_aggregator_state_dict(agg_sd, num_layers=num_layers),
+        "upsample1": {"w": _convt(sd["upsample1.weight"]), "b": sd["upsample1.bias"]},
+        "upsample2": {"w": _convt(sd["upsample2.weight"]), "b": sd["upsample2.bias"]},
+    }
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pth via torch CPU and return a flat numpy state dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}

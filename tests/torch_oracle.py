@@ -1,0 +1,293 @@
+"""Pure-functional torch oracles for parity tests.
+
+These re-derive the reference semantics (documented in SURVEY.md with
+file:line citations) directly with torch.nn.functional calls over a flat
+torch-style state dict, independently of the JAX implementation.  Only used
+by tests; torch never appears in the framework itself.
+"""
+
+import math
+
+import torch
+import torch.nn.functional as F
+
+
+def _l(sd, name, x):
+    return F.linear(x, sd[name + ".weight"], sd.get(name + ".bias"))
+
+
+def _ln(sd, name, x):
+    return F.layer_norm(x, (x.shape[-1],), sd[name + ".weight"], sd[name + ".bias"])
+
+
+def _mha(sd, p, x, heads, mask=None):
+    # x: (B, T, W); fused in_proj
+    B, T, W = x.shape
+    qkv = F.linear(x, sd[p + ".attn.in_proj_weight"], sd[p + ".attn.in_proj_bias"])
+    q, k, v = qkv.chunk(3, dim=-1)
+    D = W // heads
+    q = q.view(B, T, heads, D).transpose(1, 2)
+    k = k.view(B, T, heads, D).transpose(1, 2)
+    v = v.view(B, T, heads, D).transpose(1, 2)
+    logits = q @ k.transpose(-2, -1) / math.sqrt(D)
+    if mask is not None:
+        logits = logits + mask
+    out = (logits.softmax(-1) @ v).transpose(1, 2).reshape(B, T, W)
+    return _l(sd, p + ".attn.out_proj", out)
+
+
+def _clip_mlp(sd, p, x):
+    h = _l(sd, p + ".mlp.c_fc", x)
+    h = h * torch.sigmoid(1.702 * h)
+    return _l(sd, p + ".mlp.c_proj", h)
+
+
+def _clip_block(sd, p, x, heads, mask=None):
+    x = x + _mha(sd, p, _ln(sd, p + ".ln_1", x), heads, mask)
+    x = x + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", x))
+    return x
+
+
+def _dense_block(sd, p, x):
+    # model_vpt.py:219-240 semantics: value path + out_proj, CLS-row residual
+    y = _ln(sd, p + ".ln_1", x)
+    W = x.shape[-1]
+    vw = sd[p + ".attn.in_proj_weight"][2 * W :]
+    vb = sd[p + ".attn.in_proj_bias"][2 * W :]
+    v = F.linear(y, vw, vb)
+    v = _l(sd, p + ".attn.out_proj", v)
+    v = v + x[:, :1]
+    v = v + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", v))
+    return v
+
+
+def clip_visual_dense(sd, images_nchw, patch, layers, heads, pretrain_grid, taps=()):
+    """Returns (tokens after ln_post @ proj, [tap outputs])."""
+    x = F.conv2d(images_nchw, sd["visual.conv1.weight"], stride=patch)
+    B, W, gh, gw = x.shape
+    x = x.flatten(2).transpose(1, 2)  # B, G², W
+    cls = sd["visual.class_embedding"].expand(B, 1, W)
+    x = torch.cat([cls, x], dim=1)
+    pe = sd["visual.positional_embedding"]
+    if x.shape[1] != pe.shape[0]:
+        cls_pos, grid_pos = pe[:1], pe[1:]
+        grid_pos = grid_pos.reshape(1, pretrain_grid, pretrain_grid, W).permute(0, 3, 1, 2)
+        grid_pos = F.interpolate(grid_pos, size=(gh, gw), mode="bicubic", align_corners=False)
+        pe = torch.cat([cls_pos, grid_pos.squeeze(0).reshape(W, -1).T], dim=0)
+    x = x + pe
+    x = _ln(sd, "visual.ln_pre", x)
+    tapped = []
+    for i in range(layers - 1):
+        x = _clip_block(sd, f"visual.transformer.resblocks.{i}", x, heads)
+        if i in taps:
+            tapped.append(x)
+    x = _dense_block(sd, f"visual.transformer.resblocks.{layers - 1}", x)
+    x = _ln(sd, "visual.ln_post", x)
+    x = x @ sd["visual.proj"]
+    return x, tapped
+
+
+def clip_text(sd, tokens, layers, heads):
+    x = F.embedding(tokens, sd["token_embedding.weight"])
+    x = x + sd["positional_embedding"]
+    T = tokens.shape[-1]
+    mask = torch.full((T, T), float("-inf")).triu_(1)
+    for i in range(layers):
+        x = _clip_block(sd, f"transformer.resblocks.{i}", x, heads, mask)
+    x = _ln(sd, "ln_final", x)
+    eot = tokens.argmax(dim=-1)
+    return x[torch.arange(x.shape[0]), eot] @ sd["text_projection"]
+
+
+# ------------------------------------------------------------- aggregator
+
+
+def _win_part(x, ws):
+    B, H, W, C = x.shape
+    x = x.view(B, H // ws, ws, W // ws, ws, C).permute(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, C)
+
+
+def _win_rev(w, ws, H, W):
+    C = w.shape[-1]
+    B = w.shape[0] // ((H // ws) * (W // ws))
+    x = w.view(B, H // ws, W // ws, ws, ws, C).permute(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+def _shift_mask_t(H, W, ws, shift):
+    img = torch.zeros(1, H, W, 1)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wss, :] = cnt
+            cnt += 1
+    mw = _win_part(img, ws).view(-1, ws * ws)
+    am = mw.unsqueeze(1) - mw.unsqueeze(2)
+    return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+
+def _swin_block_t(sd, p, x, guid, heads, ws, shift):
+    # x: (BT, H, W, C) channels-last; model.py:185-225
+    BT, H, W, C = x.shape
+    shortcut = x
+    x = _ln(sd, p + ".norm1", x)
+    if guid is not None:
+        x = torch.cat([x, guid], dim=-1)
+    if shift > 0:
+        x = torch.roll(x, (-shift, -shift), dims=(1, 2))
+    wins = _win_part(x, ws)
+    q = _l(sd, p + ".attn.q", wins)
+    k = _l(sd, p + ".attn.k", wins)
+    v = _l(sd, p + ".attn.v", wins[..., :C])
+    Bw, N, _ = q.shape
+    D = C // heads
+    q = q.view(Bw, N, heads, D).transpose(1, 2) * D**-0.5
+    k = k.view(Bw, N, heads, D).transpose(1, 2)
+    v = v.view(Bw, N, heads, D).transpose(1, 2)
+    logits = q @ k.transpose(-2, -1)
+    if shift > 0:
+        m = _shift_mask_t(H, W, ws, shift)
+        nW = m.shape[0]
+        logits = logits.view(Bw // nW, nW, heads, N, N) + m.unsqueeze(1).unsqueeze(0)
+        logits = logits.view(Bw, heads, N, N)
+    out = (logits.softmax(-1) @ v).transpose(1, 2).reshape(Bw, N, C)
+    out = _l(sd, p + ".attn.proj", out)
+    x = _win_rev(out, ws, H, W)
+    if shift > 0:
+        x = torch.roll(x, (shift, shift), dims=(1, 2))
+    x = shortcut + x
+    y = _ln(sd, p + ".norm2", x)
+    y = _l(sd, p + ".mlp.fc2", F.gelu(_l(sd, p + ".mlp.fc1", y)))
+    return x + y
+
+
+def _class_layer_t(sd, p, x, text_guid, heads, pool, pad_len, attention_type):
+    # x: (B, T, H, W, C) channels-last; model.py:357-424
+    B, T, H, W, C = x.shape
+    xp = F.avg_pool2d(x.reshape(B * T, H, W, C).permute(0, 3, 1, 2), pool).permute(0, 2, 3, 1)
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    xp = xp.reshape(B, T, Hp, Wp, C)
+    if pad_len > 0 and T < pad_len:
+        pt = sd[p + ".padding_tokens"].view(1, 1, 1, 1, C).expand(B, pad_len - T, Hp, Wp, C)
+        xp = torch.cat([xp, pt], dim=1)
+        if text_guid is not None:
+            pg = sd[p + ".padding_guidance"].view(1, 1, -1).expand(B, pad_len - T, -1)
+            text_guid = torch.cat([text_guid, pg], dim=1)
+    Tp = xp.shape[1]
+    seq = xp.permute(0, 2, 3, 1, 4).reshape(B * Hp * Wp, Tp, C)
+    if text_guid is not None:
+        guid = text_guid.unsqueeze(1).expand(B, Hp * Wp, Tp, text_guid.shape[-1]).reshape(B * Hp * Wp, Tp, -1)
+    else:
+        guid = None
+
+    normed = _ln(sd, p + ".norm1", seq)
+    qin = normed if guid is None else torch.cat([normed, guid], dim=-1)
+    q = _l(sd, p + ".attention.q", qin).view(-1, Tp, heads, C // heads)
+    k = _l(sd, p + ".attention.k", qin).view(-1, Tp, heads, C // heads)
+    v = _l(sd, p + ".attention.v", normed).view(-1, Tp, heads, C // heads)
+    if attention_type == "linear":
+        Q = F.elu(q) + 1
+        K = F.elu(k) + 1
+        vl = v / Tp
+        KV = torch.einsum("nshd,nshv->nhdv", K, vl)
+        Z = 1 / (torch.einsum("nlhd,nhd->nlh", Q, K.sum(1)) + 1e-6)
+        att = torch.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * Tp
+    else:
+        logits = torch.einsum("nlhd,nshd->nlsh", q, k) / math.sqrt(C // heads)
+        att = torch.einsum("nlsh,nshd->nlhd", logits.softmax(2), v)
+    seq = seq + att.reshape(-1, Tp, C)
+    normed = _ln(sd, p + ".norm2", seq)
+    seq = seq + _l(sd, p + ".MLP.2", F.relu(_l(sd, p + ".MLP.0", normed)))
+
+    out = seq.view(B, Hp, Wp, Tp, C).permute(0, 3, 1, 2, 4)[:, :T]
+    out = out.reshape(B * T, Hp, Wp, C).permute(0, 3, 1, 2)
+    out = F.interpolate(out, size=(H, W), mode="bilinear", align_corners=True)
+    out = out.permute(0, 2, 3, 1).reshape(B, T, H, W, C)
+    return x + out
+
+
+def _double_conv_t(sd, p, x):
+    mid = sd[p + ".double_conv.0.weight"].shape[0]
+    x = F.conv2d(x, sd[p + ".double_conv.0.weight"], padding=1)
+    x = F.relu(F.group_norm(x, mid // 16, sd[p + ".double_conv.1.weight"], sd[p + ".double_conv.1.bias"]))
+    x = F.conv2d(x, sd[p + ".double_conv.3.weight"], padding=1)
+    x = F.relu(F.group_norm(x, mid // 16, sd[p + ".double_conv.4.weight"], sd[p + ".double_conv.4.bias"]))
+    return x
+
+
+def _up_t(sd, p, x, guid):
+    x = F.conv_transpose2d(x, sd[p + ".up.weight"], sd[p + ".up.bias"], stride=2)
+    if guid is not None:
+        T = x.shape[0] // guid.shape[0]
+        g = guid.unsqueeze(1).expand(-1, T, -1, -1, -1).reshape(-1, *guid.shape[1:])
+        x = torch.cat([x, g], dim=1)
+    return _double_conv_t(sd, p + ".conv", x)
+
+
+def aggregator_torch(sd, img_feats, text_feats, guidance, *, heads, window, pool, pad_len,
+                     num_layers, attention_type="linear"):
+    """Full Aggregator oracle (model.py:683-725).
+
+    img_feats: (B, H, W, C) channels-last; text_feats: (B, T, P, C);
+    guidance: (res3 (B,H,W,Cg), res4 NCHW, res5 NCHW).  Returns (B,T,96-ish,96-ish).
+    """
+    B, H, W, C = img_feats.shape
+    T = text_feats.shape[1]
+    imgn = F.normalize(img_feats, dim=-1)
+    txtn = F.normalize(text_feats, dim=-1)
+    corr = torch.einsum("bhwc,btpc->bthwp", imgn, txtn)
+
+    classes = None
+    if pad_len > 0 and T > pad_len:
+        scores = corr.amax(dim=(2, 3, 4))
+        classes = scores.topk(pad_len, dim=-1).indices
+        corr = torch.gather(corr, 1, classes[:, :, None, None, None].expand(-1, -1, H, W, corr.shape[-1]))
+        text_feats = torch.gather(txtn, 1, classes[:, :, None, None].expand(-1, -1, *txtn.shape[2:]))
+
+    Tc = corr.shape[1]
+    x = F.conv2d(corr.reshape(B * Tc, H, W, -1).permute(0, 3, 1, 2), sd["conv1.weight"], sd["conv1.bias"], padding=3)
+    Ch = x.shape[1]
+    x = x.permute(0, 2, 3, 1).reshape(B, Tc, H, W, Ch)
+
+    proj_guid = None
+    if "guidance_projection.0.weight" in sd:
+        g = F.conv2d(guidance[0].permute(0, 3, 1, 2), sd["guidance_projection.0.weight"],
+                     sd["guidance_projection.0.bias"], padding=1)
+        proj_guid = F.relu(g).permute(0, 2, 3, 1)
+    dec_guid = [None, None]
+    if "decoder_guidance_projection.0.0.weight" in sd:
+        dec_guid = [
+            F.relu(F.conv2d(guidance[1 + i], sd[f"decoder_guidance_projection.{i}.0.weight"],
+                            sd[f"decoder_guidance_projection.{i}.0.bias"], padding=1))
+            for i in range(2)
+        ]
+    text_guid = None
+    if "text_guidance_projection.0.weight" in sd:
+        tf = text_feats.mean(dim=-2)
+        tf = tf / tf.norm(dim=-1, keepdim=True)
+        text_guid = F.relu(_l(sd, "text_guidance_projection.0", tf))
+
+    for i in range(num_layers):
+        BT = B * Tc
+        xs = x.reshape(BT, H, W, Ch)
+        guid = None
+        if proj_guid is not None:
+            gn = _ln(sd, f"layers.{i}.swin_block.guidance_norm", proj_guid)
+            guid = gn.unsqueeze(1).expand(B, Tc, H, W, -1).reshape(BT, H, W, -1)
+        xs = _swin_block_t(sd, f"layers.{i}.swin_block.block_1", xs, guid, heads, window, 0)
+        xs = _swin_block_t(sd, f"layers.{i}.swin_block.block_2", xs, guid, heads, window, window // 2)
+        x = xs.reshape(B, Tc, H, W, Ch)
+        x = _class_layer_t(sd, f"layers.{i}.attention", x, text_guid, heads, pool, pad_len, attention_type)
+
+    xs = x.reshape(B * Tc, H, W, Ch).permute(0, 3, 1, 2)
+    xs = _up_t(sd, "decoder1", xs, dec_guid[0])
+    xs = _up_t(sd, "decoder2", xs, dec_guid[1])
+    logit = F.conv2d(xs, sd["head.weight"], sd["head.bias"], padding=1)
+    Ho, Wo = logit.shape[-2:]
+    logit = logit.reshape(B, Tc, Ho, Wo)
+    if classes is not None:
+        out = torch.full((B, T, Ho, Wo), -100.0)
+        out.scatter_(1, classes[:, :, None, None].expand(-1, -1, Ho, Wo), logit)
+        logit = out
+    return logit
