@@ -171,9 +171,10 @@ def encode_image(
 
 
 @functools.lru_cache(maxsize=4)
-def _causal_mask(T: int):
-    mask = np.triu(np.full((T, T), -np.inf, dtype=np.float32), k=1)
-    return jnp.asarray(mask)
+def _causal_mask(T: int) -> np.ndarray:
+    # cached as numpy (a trace-time constant); caching a jnp array here would
+    # leak tracers across jit scopes
+    return np.triu(np.full((T, T), -np.inf, dtype=np.float32), k=1)
 
 
 def encode_text(

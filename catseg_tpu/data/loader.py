@@ -1,0 +1,92 @@
+"""Host-side data loading: decode, test-time resize, dataset listing, prefetch.
+
+Replaces detectron2's load_sem_seg + ResizeShortestEdge test mapper (the
+reference evaluation input path).  PIL is used for decode and uint8 resize —
+the same backend detectron2 uses, so test-time inputs are bit-identical.
+A small double-buffered background prefetcher overlaps decode with TPU
+compute (the reference used 8 dataloader worker processes for the same job).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+from .catalogs import DatasetSpec, dataset_root
+
+
+def list_dataset(spec: DatasetSpec, root: str | None = None, limit: int | None = None):
+    """[(image_path, gt_path)] — pairs matched by basename, sorted
+    (load_sem_seg semantics)."""
+    root = root or dataset_root()
+    img_dir = os.path.join(root, spec.image_dir)
+    gt_dir = os.path.join(root, spec.gt_dir)
+    gts = sorted(f for f in os.listdir(gt_dir) if f.endswith("." + spec.gt_ext))
+    pairs = []
+    for g in gts:
+        base = g[: -len(spec.gt_ext) - 1]
+        img = os.path.join(img_dir, base + "." + spec.image_ext)
+        if os.path.exists(img):
+            pairs.append((img, os.path.join(gt_dir, g)))
+    return pairs[:limit] if limit else pairs
+
+
+def load_image(path: str) -> np.ndarray:
+    """RGB uint8 (H, W, 3)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def load_gt(path: str) -> np.ndarray:
+    """Ground-truth id map as int32 (H, W); 16-bit TIFFs load natively."""
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr.astype(np.int32)
+
+
+def resize_shortest_edge(
+    img: np.ndarray, short: int = 640, max_size: int = 2560, interp=Image.BILINEAR
+) -> np.ndarray:
+    """detectron2 ResizeShortestEdge (uint8 path goes through PIL, as there)."""
+    h, w = img.shape[:2]
+    scale = short / min(h, w)
+    if h < w:
+        newh, neww = short, scale * w
+    else:
+        newh, neww = scale * h, short
+    if max(newh, neww) > max_size:
+        s2 = max_size / max(newh, neww)
+        newh, neww = newh * s2, neww * s2
+    newh, neww = int(newh + 0.5), int(neww + 0.5)
+    if (newh, neww) == (h, w):
+        return img
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((neww, newh), interp))
+
+
+class Prefetcher:
+    """Background-thread iterator: overlaps host decode with device compute."""
+
+    def __init__(self, items, fn, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._n = len(items)
+
+        def work():
+            for it in items:
+                self._q.put(fn(it))
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def __len__(self):
+        return self._n
+
+    def __iter__(self):
+        for _ in range(self._n):
+            yield self._q.get()

@@ -1,0 +1,86 @@
+"""Benchmark evaluation harness: the eval.sh protocol end-to-end.
+
+For a (checkpoint, benchmark) pair: build text features for the benchmark's
+class JSON, stream the validation set through the sliding-window pipeline,
+resize-argmax on a static padded canvas, accumulate the confusion matrix on
+device, report detectron2-identical metrics.  One XLA compile per benchmark.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..configs import CATSegConfig, eval_preset
+from ..data.catalogs import get_dataset, load_class_names
+from ..data.loader import Prefetcher, list_dataset, load_gt, load_image, resize_shortest_edge
+from ..infer.pipeline import Predictor, resize_argmax, resize_weights
+from .miou import ConfusionAccumulator
+
+
+def _canvas(sizes, step: int = 256) -> tuple[int, int]:
+    hm = max(s[0] for s in sizes)
+    wm = max(s[1] for s in sizes)
+    return (math.ceil(hm / step) * step, math.ceil(wm / step) * step)
+
+
+def evaluate_benchmark(
+    params: dict,
+    cfg: CATSegConfig,
+    benchmark: str,
+    root: str | None = None,
+    limit: int | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Run one eval.sh benchmark; returns the metrics dict (+ images/sec)."""
+    cfg = eval_preset(cfg)
+    spec = get_dataset(benchmark)
+    class_names = load_class_names(spec.class_json)
+    predictor = Predictor(params, cfg, class_names)
+    pairs = list_dataset(spec, root=root, limit=limit)
+    if not pairs:
+        raise FileNotFoundError(f"no data for {spec.name} under root {root}")
+
+    def load(pair):
+        img = load_image(pair[0])
+        gt = load_gt(pair[1])
+        return resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test), gt
+
+    # probe sizes for the static canvas (GT carries the original size)
+    sizes = []
+    for _, g in pairs:
+        from PIL import Image
+
+        with Image.open(g) as im:
+            sizes.append((im.height, im.width))
+    Hc, Wc = _canvas(sizes)
+
+    acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
+                               clamp_background=spec.evaluator == "sem_seg_background")
+    t0 = time.time()
+    n = 0
+    for (img, gt) in Prefetcher(pairs, load):
+        H, W = gt.shape
+        probs = predictor.probs_sliding(img)
+        wh = jnp.asarray(resize_weights(probs.shape[0], H, Hc))
+        ww = jnp.asarray(resize_weights(probs.shape[1], W, Wc))
+        pred = resize_argmax(probs, wh, ww)
+        gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=np.int32)
+        gt_pad[:H, :W] = gt
+        acc.update(pred, gt_pad)
+        n += 1
+        if verbose and n % 100 == 0:
+            print(f"  [{spec.name}] {n}/{len(pairs)} images, {n / (time.time() - t0):.2f} im/s")
+    metrics = acc.metrics()
+    metrics["images_per_sec"] = n / (time.time() - t0)
+    metrics["num_images"] = n
+    if verbose:
+        print(
+            f"[{spec.name}] mIoU {metrics['mIoU']:.2f} fwIoU {metrics['fwIoU']:.2f} "
+            f"mACC {metrics['mACC']:.2f} pACC {metrics['pACC']:.2f} "
+            f"({metrics['images_per_sec']:.2f} im/s)"
+        )
+    return metrics

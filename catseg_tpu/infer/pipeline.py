@@ -1,0 +1,175 @@
+"""Inference pipelines: whole-image and sliding-window, static shapes end-to-end.
+
+Reproduces the reference inference contract (cat_seg/cat_seg_model.py:147-229):
+
+sliding window (the eval.sh path, lines 156-218):
+  resize to 640x640 -> unfold into 4 tiles (k=384, s=256) + 1 global 384 tile
+  -> batch of 5 through the model -> per-tile logits upsampled to 384 ->
+  sigmoid -> fold with overlap-count normalization -> average with the
+  upsampled global tile -> resize to the original image size -> argmax.
+
+TPU re-design: every device computation is compiled once per (benchmark, T):
+- tiling/folding are static reshapes + adds (catseg_tpu.ops.unfold);
+- the *final* resize to the original (H, W) — which varies per image — runs
+  on device against a static padded canvas (Hmax, Wmax), taking the exact
+  torch-bilinear interpolation weights as runtime inputs, with a lax.scan
+  over class chunks feeding a running argmax.  No per-image recompiles, no
+  giant host transfers: only the (Hmax, Wmax) argmax map leaves the device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import CATSegConfig
+from ..core import catseg
+from ..ops import resize_bilinear, unfold_tiles, fold_tiles, fold_divisor
+from ..ops.resize import _linear_weights
+from ..text.embed import forward_text_embeds
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sliding_window_probs(
+    params: dict,
+    image640: jnp.ndarray,
+    image_global: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """(640,640,3) + (384,384,3) raw RGB -> (640,640,T) sigmoid probabilities."""
+    k, s, out = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
+    tiles = unfold_tiles(image640[None], k, s)  # (4, 384, 384, 3)
+    batch = jnp.concatenate([tiles, image_global[None]], axis=0)  # (5, ...)
+    logits = catseg.forward(params, batch, text_feats, cfg)  # (5, T, 96, 96)
+    logits = logits.transpose(0, 2, 3, 1)  # (5, 96, 96, T)
+    logits = resize_bilinear(logits, (k, k))
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    tile_probs, global_probs = probs[:-1], probs[-1:]
+    folded = fold_tiles(tile_probs, (out, out), k, s)[0]
+    folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
+    global_up = resize_bilinear(global_probs, (out, out))[0]
+    return (folded + global_up) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def whole_image_probs(
+    params: dict,
+    image: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """(H, W, 3) raw RGB (H, W static) -> (96, 96, T) sigmoid probabilities
+    (whole-image branch, cat_seg_model.py:147-155,220-229)."""
+    logits = catseg.forward(params, image[None], text_feats, cfg)[0]
+    return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def resize_argmax(
+    probs: jnp.ndarray,
+    wh: jnp.ndarray,
+    ww: jnp.ndarray,
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """Bilinear-resize (h, w, T) probs to a padded canvas and argmax over T.
+
+    wh: (Hmax, h), ww: (Wmax, w) torch-exact interpolation weights (zero rows
+    beyond the true output size).  Scans class chunks to bound memory.
+    """
+    h, w, T = probs.shape
+    Tp = -(-T // chunk) * chunk
+    if Tp != T:
+        probs = jnp.concatenate([probs, jnp.full((h, w, Tp - T), -1.0, probs.dtype)], axis=-1)
+    chunks = probs.reshape(h, w, Tp // chunk, chunk).transpose(2, 0, 1, 3)
+
+    Hm, Wm = wh.shape[0], ww.shape[0]
+
+    def body(carry, ch):
+        best, best_idx, base = carry
+        r = jnp.einsum("hwt,Hh->Hwt", ch, wh, preferred_element_type=jnp.float32)
+        r = jnp.einsum("Hwt,Ww->HWt", r, ww, preferred_element_type=jnp.float32)
+        cmax = jnp.max(r, axis=-1)
+        cidx = jnp.argmax(r, axis=-1).astype(jnp.int32) + base
+        take = cmax > best
+        return (jnp.where(take, cmax, best), jnp.where(take, cidx, best_idx), base + chunk), None
+
+    init = (jnp.full((Hm, Wm), -jnp.inf, jnp.float32), jnp.zeros((Hm, Wm), jnp.int32), jnp.int32(0))
+    (_, pred, _), _ = jax.lax.scan(body, init, chunks)
+    return pred
+
+
+def resize_weights(in_size: int, out_size: int, canvas: int) -> np.ndarray:
+    """(canvas, in_size) torch-bilinear weights, zero-padded past out_size."""
+    w = np.zeros((canvas, in_size), dtype=np.float32)
+    w[:out_size] = _linear_weights(in_size, out_size, align_corners=False)
+    return w
+
+
+def host_resize_bilinear(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """torch-exact bilinear resize on host numpy (HWC float image)."""
+    h, w = img.shape[:2]
+    wh = _linear_weights(h, out_hw[0], False).astype(np.float32)
+    ww = _linear_weights(w, out_hw[1], False).astype(np.float32)
+    out = np.einsum("hwc,Hh->Hwc", img.astype(np.float32), wh)
+    return np.einsum("Hwc,Ww->HWc", out, ww)
+
+
+class Predictor:
+    """predict(image) -> {"sem_seg": (T, H, W) probs} | argmax map.
+
+    The functional mirror of the reference's CATSeg inference API
+    (cat_seg_model.py:115-229 returns [{"sem_seg": KxHxW}]).
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: CATSegConfig,
+        class_names: list[str],
+        text_feats: np.ndarray | None = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.class_names = list(class_names)
+        if text_feats is None:
+            text_feats = forward_text_embeds(
+                params["clip"], self.class_names, cfg.prompt_ensemble_type, cfg.clip,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+        self.text_feats = jnp.asarray(text_feats)
+
+    def probs_sliding(self, image: np.ndarray) -> jnp.ndarray:
+        """image: (H, W, 3) RGB uint8/float at any size -> (640, 640, T) probs."""
+        cfg = self.cfg
+        img = image.astype(np.float32)
+        img640 = host_resize_bilinear(img, (cfg.sw_out_res, cfg.sw_out_res))
+        imgk = host_resize_bilinear(img, (cfg.sw_kernel, cfg.sw_kernel))
+        return sliding_window_probs(self.params, jnp.asarray(img640), jnp.asarray(imgk), self.text_feats, cfg)
+
+    def predict(self, image: np.ndarray, out_hw: tuple[int, int] | None = None) -> dict:
+        """Full-resolution class probabilities for one image (demo path)."""
+        H, W = out_hw or image.shape[:2]
+        probs = self.probs_sliding(image)
+        h, w = probs.shape[:2]
+        wh = jnp.asarray(_linear_weights(h, H, False).astype(np.float32))
+        ww = jnp.asarray(_linear_weights(w, W, False).astype(np.float32))
+        up = jnp.einsum("hwt,Hh->Hwt", probs, wh)
+        up = jnp.einsum("Hwt,Ww->HWt", up, ww)
+        sem_seg = np.asarray(up).transpose(2, 0, 1)
+        return {"sem_seg": sem_seg}
+
+    def predict_argmax(self, image: np.ndarray, out_hw: tuple[int, int] | None = None,
+                       canvas: tuple[int, int] | None = None) -> np.ndarray:
+        """Argmax map at the original size via the static-canvas device path."""
+        H, W = out_hw or image.shape[:2]
+        cH, cW = canvas or (H, W)
+        probs = self.probs_sliding(image)
+        h, w = probs.shape[:2]
+        wh = jnp.asarray(resize_weights(h, H, cH))
+        ww = jnp.asarray(resize_weights(w, W, cW))
+        pred = resize_argmax(probs, wh, ww)
+        return np.asarray(pred)[:H, :W]

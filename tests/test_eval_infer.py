@@ -1,0 +1,142 @@
+"""Tests: confusion/mIoU math, static-canvas resize-argmax, sliding-window
+pipeline composition, text embedding pipeline."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from catseg_tpu.evaluation.miou import ConfusionAccumulator, semseg_metrics, gzero_metrics
+from catseg_tpu.infer.pipeline import resize_argmax, resize_weights, sliding_window_probs, host_resize_bilinear
+from catseg_tpu.ops import unfold_tiles, fold_tiles, fold_divisor
+from catseg_tpu.core import catseg
+
+from test_catseg_model import mini_cfg
+
+
+def _reference_metrics(pred, gt, K, ignore):
+    """detectron2-style numpy reference for the metric math."""
+    conf = np.zeros((K + 1, K + 1), dtype=np.int64)
+    g = gt.copy()
+    g[g == ignore] = K
+    np.add.at(conf, (pred.reshape(-1), g.reshape(-1)), 1)
+    tp = conf.diagonal()[:-1].astype(np.float64)
+    pos_gt = conf[:-1, :-1].sum(0).astype(np.float64)
+    pos_pred = conf[:-1, :-1].sum(1).astype(np.float64)
+    valid = pos_gt > 0
+    iou = tp[valid] / (pos_gt[valid] + pos_pred[valid] - tp[valid])
+    return 100 * iou.mean(), conf
+
+
+def test_confusion_and_miou():
+    rng = np.random.RandomState(0)
+    K = 7
+    pred = rng.randint(0, K, (50, 60)).astype(np.int32)
+    gt = rng.randint(0, K, (50, 60)).astype(np.int32)
+    gt[:5] = 255
+    acc = ConfusionAccumulator(K, 255)
+    acc.update(pred, gt)
+    want_miou, want_conf = _reference_metrics(pred, gt, K, 255)
+    np.testing.assert_array_equal(acc.matrix(), want_conf)
+    got = acc.metrics()
+    np.testing.assert_allclose(got["mIoU"], want_miou, rtol=1e-9)
+    assert 0 <= got["pACC"] <= 100
+
+
+def test_vocb_clamp():
+    K = 21
+    pred = np.full((4, 4), 25, np.int32)  # background prompt variants >= 20
+    gt = np.full((4, 4), 20, np.int32)
+    acc = ConfusionAccumulator(K, 255, clamp_background=True)
+    acc.update(pred, gt)
+    m = acc.metrics()
+    assert m["pACC"] == 100.0  # all clamped to 20 == background gt
+
+
+def test_gzero_metrics():
+    conf = np.zeros((5, 5), dtype=np.int64)
+    conf[0, 0] = 10
+    conf[1, 1] = 5
+    conf[1, 2] = 5  # class 2 half-confused
+    conf[2, 2] = 5
+    conf[3, 3] = 10
+    m = gzero_metrics(conf, seen=[0, 1], unseen=[2, 3])
+    # class0 IoU=1, class1 tp=5 gt=5 pred=10 -> 0.5; class2 tp=5 gt=10 pred=5 -> 0.5; class3=1
+    assert m["mIoU_seen"] == pytest.approx(100 * (1.0 + 0.5) / 2)
+    assert m["mIoU_unseen"] == pytest.approx(100 * (0.5 + 1.0) / 2)
+    h = 2 * m["mIoU_seen"] * m["mIoU_unseen"] / (m["mIoU_seen"] + m["mIoU_unseen"])
+    assert m["hIoU"] == pytest.approx(h)
+
+
+def test_resize_argmax_matches_torch():
+    rng = np.random.RandomState(1)
+    T, h, w = 37, 20, 20
+    H, W, Hc, Wc = 53, 47, 64, 64
+    probs = rng.rand(h, w, T).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(probs).permute(2, 0, 1)[None], size=(H, W),
+                         mode="bilinear", align_corners=False)[0].argmax(0).numpy()
+    pred = resize_argmax(jnp.asarray(probs), jnp.asarray(resize_weights(h, H, Hc)),
+                         jnp.asarray(resize_weights(w, W, Wc)), chunk=8)
+    got = np.asarray(pred)[:H, :W]
+    # ties under fp reordering are astronomically unlikely with random floats
+    np.testing.assert_array_equal(got, want)
+
+
+def test_host_resize_matches_torch():
+    rng = np.random.RandomState(2)
+    img = rng.rand(37, 53, 3).astype(np.float32) * 255
+    want = F.interpolate(torch.from_numpy(img).permute(2, 0, 1)[None], size=(64, 64),
+                         mode="bilinear", align_corners=False)[0].permute(1, 2, 0).numpy()
+    got = host_resize_bilinear(img, (64, 64))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+
+
+def test_sliding_window_composition():
+    """Pipeline == manual composition of (unfold -> model -> fold/avg)."""
+    cfg = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
+    assert cfg.sw_stride == 64
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (200, 300, 3)).astype(np.float32)
+    text = rng.randn(6, 1, 48).astype(np.float32)
+
+    img640 = host_resize_bilinear(img, (256, 256))
+    imgk = host_resize_bilinear(img, (128, 128))
+    got = sliding_window_probs(params, jnp.asarray(img640), jnp.asarray(imgk), jnp.asarray(text), cfg)
+    assert got.shape == (256, 256, 6)
+
+    # manual: tiles through the plain forward
+    tiles = np.asarray(unfold_tiles(jnp.asarray(img640[None]), 128, 64))
+    batch = np.concatenate([tiles, imgk[None]], axis=0)
+    logits = np.asarray(catseg.forward(params, jnp.asarray(batch), jnp.asarray(text), cfg))
+    lt = F.interpolate(torch.from_numpy(logits), size=(128, 128), mode="bilinear", align_corners=False)
+    probs = torch.sigmoid(lt).permute(0, 2, 3, 1).numpy()
+    folded = np.asarray(fold_tiles(jnp.asarray(probs[:-1]), (256, 256), 128, 64))[0]
+    folded = folded / fold_divisor((256, 256), 128, 64)
+    glob = F.interpolate(torch.sigmoid(lt[-1:]), size=(256, 256), mode="bilinear", align_corners=False)
+    want = (folded + glob[0].permute(1, 2, 0).numpy()) / 2
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_text_embed_pipeline():
+    from catseg_tpu.core.clip import init_clip_params
+    from catseg_tpu.text.embed import forward_text_embeds, class_embeddings_ensemble
+    from test_clip_parity import VARIANT
+
+    # tiny vocab forces a stub tokenizer; use the real one but truncate ids
+    pytest.importorskip("regex")
+    from catseg_tpu.configs import CLIPVariant
+
+    var = CLIPVariant("mini", 8, 64, 2, 4, 32, 32, 48, 4, 2, vocab_size=49408, context=77)
+    params = init_clip_params(jax.random.PRNGKey(0), var)
+    names = ["cat", "dog, puppy"]
+    fw = forward_text_embeds(params["clip"] if "clip" in params else params, names, "single", var)
+    assert fw.shape == (2, 1, 32)
+    np.testing.assert_allclose(np.linalg.norm(fw, axis=-1), 1.0, rtol=1e-5)
+    ens = class_embeddings_ensemble(params, names, "single", var)
+    assert ens.shape == (2, 1, 32)
+    # first class has one synonym: forward path and ensemble agree
+    np.testing.assert_allclose(fw[0], ens[0], atol=1e-5)
