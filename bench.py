@@ -1,0 +1,81 @@
+"""Benchmark: end-to-end sliding-window eval throughput of the flagship model.
+
+Measures the eval.sh hot path (SURVEY.md §3.2) on the available accelerator:
+CAT-Seg (B) = ViT-B/16 @ 384, ADE-150-sized class list (T=150), sliding
+window (4 tiles + global through one batched forward), sigmoid/fold/average,
+and the on-device resize-argmax to the original image size.  Random weights —
+throughput is weight-independent.
+
+Baseline: the reference publishes no images/sec (BASELINE.md).  The published
+protocol ran 4x RTX 3090 with torch/TF32.  We could not measure that hardware
+here; the documented estimate below assumes ~2 im/s/GPU for the full
+sliding-window pipeline (5x ViT-B/16@384 dense passes + 150-class aggregation
++ per-image python/host overhead in detectron2's eval loop), i.e. 8 im/s for
+the 4-GPU node.  vs_baseline = our_ims / 8.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_4X3090_IMS = 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from catseg_tpu.configs import vitb384, eval_preset
+    from catseg_tpu.core import catseg
+    from catseg_tpu.infer.pipeline import Predictor, resize_argmax, resize_weights
+
+    cfg = eval_preset(vitb384())
+    T = 150
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    predictor = Predictor(params, cfg, [f"class{i}" for i in range(T)], text_feats=text,
+                          input_canvas=(1024, 1024))
+
+    # synthetic "dataset": typical ADE val sizes after ResizeShortestEdge(640)
+    sizes = [(640, 853), (640, 960), (853, 640), (640, 640)]
+    orig_sizes = [(512, 683), (512, 768), (683, 512), (512, 512)]
+    canvas = (768, 768)
+    images = [rng.randint(0, 255, (h, w, 3)).astype(np.float32) for h, w in sizes]
+
+    def run_one(i):
+        img = images[i % len(images)]
+        H, W = orig_sizes[i % len(orig_sizes)]
+        probs = predictor.probs_sliding(img)
+        wh = jnp.asarray(resize_weights(probs.shape[0], H, canvas[0]))
+        ww = jnp.asarray(resize_weights(probs.shape[1], W, canvas[1]))
+        return resize_argmax(probs, wh, ww)
+
+    # warmup / compile every shape variant
+    for i in range(len(sizes)):
+        jax.block_until_ready(run_one(i))
+
+    n = 24
+    t0 = time.time()
+    for i in range(n):
+        pred = run_one(i)
+    jax.block_until_ready(pred)
+    dt = time.time() - t0
+    ims = n / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "sliding_window_eval_images_per_sec",
+                "value": round(ims, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(ims / REFERENCE_4X3090_IMS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -342,6 +342,12 @@ def aggregator_forward(
 
     x = corr_embed(corr, agg)
 
+    # keep the class axis distributed across the mesh's "class" dimension
+    # (no-op without an active mesh; see catseg_tpu.parallel.mesh)
+    from ..parallel.mesh import constrain_class_axis
+
+    x = constrain_class_axis(x)
+
     proj_guid = None
     if "guidance_proj" in agg:
         proj_guid = jax.nn.relu(conv2d(appearance_guidance[0], agg["guidance_proj"]["w"], agg["guidance_proj"]["b"], padding=1))
@@ -359,7 +365,9 @@ def aggregator_forward(
 
     for layer in agg["layers"]:
         x = spatial_aggregation(x, proj_guid, layer, cfg)
+        x = constrain_class_axis(x)
         x = class_aggregation(x, text_guid, layer, cfg)
+        x = constrain_class_axis(x)
 
     logits = conv_decoder(x, dec_guid, agg)
     if classes is not None:

@@ -39,7 +39,6 @@ def evaluate_benchmark(
     cfg = eval_preset(cfg)
     spec = get_dataset(benchmark)
     class_names = load_class_names(spec.class_json)
-    predictor = Predictor(params, cfg, class_names)
     pairs = list_dataset(spec, root=root, limit=limit)
     if not pairs:
         raise FileNotFoundError(f"no data for {spec.name} under root {root}")
@@ -49,7 +48,7 @@ def evaluate_benchmark(
         gt = load_gt(pair[1])
         return resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test), gt
 
-    # probe sizes for the static canvas (GT carries the original size)
+    # probe sizes for the static canvases (GT carries the original size)
     sizes = []
     for _, g in pairs:
         from PIL import Image
@@ -57,6 +56,18 @@ def evaluate_benchmark(
         with Image.open(g) as im:
             sizes.append((im.height, im.width))
     Hc, Wc = _canvas(sizes)
+
+    def _resized(hw):
+        h, w = hw
+        s = cfg.min_size_test / min(h, w)
+        nh, nw = (cfg.min_size_test, s * w) if h < w else (s * h, cfg.min_size_test)
+        if max(nh, nw) > cfg.max_size_test:
+            s2 = cfg.max_size_test / max(nh, nw)
+            nh, nw = nh * s2, nw * s2
+        return int(nh + 0.5), int(nw + 0.5)
+
+    in_canvas = _canvas([_resized(s) for s in sizes])
+    predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
 
     acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
                                clamp_background=spec.evaluator == "sem_seg_background")

@@ -56,6 +56,31 @@ def sliding_window_probs(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def sliding_window_probs_from_canvas(
+    params: dict,
+    image_canvas: jnp.ndarray,
+    wh640: jnp.ndarray,
+    ww640: jnp.ndarray,
+    whk: jnp.ndarray,
+    wwk: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Same as sliding_window_probs but the input resizes happen on device.
+
+    image_canvas: (Hc, Wc, 3) raw RGB zero-padded to a static canvas; the
+    (640, Hc)/(640, Wc)/(k, Hc)/(k, Wc) interpolation-weight inputs encode the
+    true image size (zero columns beyond it), so the host only pays a memcpy.
+    """
+    img = image_canvas.astype(jnp.float32)
+    img640 = jnp.einsum("hwc,Hh->Hwc", img, wh640)
+    img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
+    imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
+    imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
+    return sliding_window_probs(params, img640, imgk, text_feats, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def whole_image_probs(
     params: dict,
     image: jnp.ndarray,
@@ -102,10 +127,11 @@ def resize_argmax(
     return pred
 
 
-def resize_weights(in_size: int, out_size: int, canvas: int) -> np.ndarray:
-    """(canvas, in_size) torch-bilinear weights, zero-padded past out_size."""
-    w = np.zeros((canvas, in_size), dtype=np.float32)
-    w[:out_size] = _linear_weights(in_size, out_size, align_corners=False)
+def resize_weights(in_size: int, out_size: int, canvas: int, in_pad: int | None = None) -> np.ndarray:
+    """(canvas, in_pad or in_size) torch-bilinear weights; rows beyond
+    out_size and columns beyond in_size are zero."""
+    w = np.zeros((canvas, in_pad or in_size), dtype=np.float32)
+    w[:out_size, :in_size] = _linear_weights(in_size, out_size, align_corners=False)
     return w
 
 
@@ -131,10 +157,12 @@ class Predictor:
         cfg: CATSegConfig,
         class_names: list[str],
         text_feats: np.ndarray | None = None,
+        input_canvas: tuple[int, int] | None = None,
     ):
         self.params = params
         self.cfg = cfg
         self.class_names = list(class_names)
+        self.input_canvas = input_canvas  # fix one (Hc, Wc) to compile once per dataset
         if text_feats is None:
             text_feats = forward_text_embeds(
                 params["clip"], self.class_names, cfg.prompt_ensemble_type, cfg.clip,
@@ -143,12 +171,29 @@ class Predictor:
         self.text_feats = jnp.asarray(text_feats)
 
     def probs_sliding(self, image: np.ndarray) -> jnp.ndarray:
-        """image: (H, W, 3) RGB uint8/float at any size -> (640, 640, T) probs."""
+        """image: (H, W, 3) RGB uint8/float at any size -> (640, 640, T) probs.
+
+        The input is zero-padded to a 256-bucketed canvas and resized on
+        device (exact torch bilinear via runtime weight matrices), so the
+        host does no per-pixel math and jit compiles once per bucket."""
         cfg = self.cfg
-        img = image.astype(np.float32)
-        img640 = host_resize_bilinear(img, (cfg.sw_out_res, cfg.sw_out_res))
-        imgk = host_resize_bilinear(img, (cfg.sw_kernel, cfg.sw_kernel))
-        return sliding_window_probs(self.params, jnp.asarray(img640), jnp.asarray(imgk), self.text_feats, cfg)
+        h, w = image.shape[:2]
+        if self.input_canvas is not None:
+            Hc, Wc = self.input_canvas
+        else:
+            Hc = -(-h // 256) * 256
+            Wc = -(-w // 256) * 256
+        canvas = np.zeros((Hc, Wc, 3), dtype=np.float32)
+        canvas[:h, :w] = image
+        wh640 = resize_weights(h, cfg.sw_out_res, cfg.sw_out_res, in_pad=Hc)
+        ww640 = resize_weights(w, cfg.sw_out_res, cfg.sw_out_res, in_pad=Wc)
+        whk = resize_weights(h, cfg.sw_kernel, cfg.sw_kernel, in_pad=Hc)
+        wwk = resize_weights(w, cfg.sw_kernel, cfg.sw_kernel, in_pad=Wc)
+        return sliding_window_probs_from_canvas(
+            self.params, jnp.asarray(canvas),
+            jnp.asarray(wh640), jnp.asarray(ww640), jnp.asarray(whk), jnp.asarray(wwk),
+            self.text_feats, cfg,
+        )
 
     def predict(self, image: np.ndarray, out_hw: tuple[int, int] | None = None) -> dict:
         """Full-resolution class probabilities for one image (demo path)."""

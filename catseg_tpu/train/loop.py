@@ -1,0 +1,108 @@
+"""Training step and loop (reference hot loop: SURVEY.md §3.1).
+
+Single-controller data parallelism: the step is jitted with batch inputs
+sharded on the mesh "data" axis and replicated params; XLA inserts the
+gradient psums DDP used to do.  Text features are re-encoded inside the step
+(the text encoder is being finetuned — cat_seg_predictor.py:209-210), so the
+class-token matrix is a static (T, 77) input baked at jit time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs import CATSegConfig
+from ..core import catseg
+from ..core.clip import encode_text
+from ..parallel.mesh import batch_sharding, replicate, use_mesh
+from .optim import build_optimizer
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def init_train_state(rng, cfg: CATSegConfig, params=None) -> tuple[TrainState, optax.GradientTransformation]:
+    params = params if params is not None else catseg.init_catseg_params(rng, cfg)
+    tx = build_optimizer(cfg, params)
+    return TrainState(params=params, opt_state=tx.init(params)), tx
+
+
+def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_tokens: np.ndarray, mesh=None):
+    """Returns step(params, opt_state, images, targets) -> (params, opt_state, loss).
+
+    text_tokens: (T, 77) int32 token ids of the train class list.
+    """
+    tokens = jnp.asarray(text_tokens.astype(np.int32))
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    def loss_fn(params, images, targets):
+        with use_mesh(mesh):
+            emb = encode_text(params["clip"], tokens, cfg.clip, compute_dtype=dtype)
+            emb = emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True).astype(emb.dtype)
+            text_feats = emb[:, None, :]  # (T, P=1, E)
+            logits = catseg.forward(params, images, text_feats, cfg)
+            return catseg.bce_loss(logits, targets, cfg.ignore_value, targets.shape[1:3])
+
+    def step(params, opt_state, images, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicate(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, bs, bs),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def train(
+    state: TrainState,
+    tx,
+    cfg: CATSegConfig,
+    data_iter,
+    text_tokens: np.ndarray,
+    mesh=None,
+    num_steps: int | None = None,
+    log_every: int = 20,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5000,
+):
+    """Minimal driver loop: step, log, periodically checkpoint params."""
+    from ..weights.io import save_pytree
+
+    step_fn = make_train_step(cfg, tx, text_tokens, mesh=mesh)
+    params, opt_state = state.params, state.opt_state
+    n = num_steps if num_steps is not None else cfg.max_iter - state.step
+    t0 = time.time()
+    loss = None
+    for i in range(n):
+        images, targets = next(data_iter)
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(images), jnp.asarray(targets))
+        state.step += 1
+        if log_every and (i + 1) % log_every == 0:
+            jax.block_until_ready(loss)
+            rate = (i + 1) / (time.time() - t0)
+            print(f"step {state.step}: loss {float(loss):.4f}  {rate:.2f} it/s")
+        if checkpoint_path and state.step % checkpoint_every == 0:
+            save_pytree(checkpoint_path, jax.device_get(params))
+    state.params, state.opt_state = params, opt_state
+    if loss is not None:
+        jax.block_until_ready(loss)
+    return state

@@ -1,0 +1,73 @@
+"""Optimizer: the reference training recipe in optax.
+
+Reproduces train_net.py:174-258: AdamW (base LR 2e-4, cosine, no warmup),
+CLIP parameters at LR x CLIP_MULTIPLIER (0.01), the CLIP finetune policy
+(mode "attention": only q/v projection *weights* inside both CLIP
+transformers train — cat_seg_model.py:57-75; everything else in CLIP is
+frozen), and full-model gradient-norm clipping at 0.01 applied before the
+update (FullModelGradientClippingOptimizer).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import optax
+
+from ..configs import CATSegConfig
+
+
+def _label_for_path(path: tuple, clip_finetune: str) -> str:
+    keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+    if not keys or keys[0] != "clip":
+        return "main"
+    inside_transformer = "blocks" in keys
+    if clip_finetune == "attention":
+        # q/v projection weights only (not biases, not k, not out-proj)
+        if inside_transformer and keys[-1] in ("q_w", "v_w"):
+            return "clip"
+        return "frozen"
+    if clip_finetune == "full":
+        return "clip" if inside_transformer else "frozen"
+    # "prompt" (VPT) or "none": nothing of CLIP trains (prompt tokens are the
+    # VPT path, prompt_depth=0 in every released config)
+    return "frozen"
+
+
+def finetune_label_tree(params, clip_finetune: str):
+    return jax.tree_util.tree_map_with_path(lambda p, _: _label_for_path(p, clip_finetune), params)
+
+
+def cosine_lr(base_lr: float, max_iter: int, warmup_iters: int = 0, warmup_factor: float = 1.0):
+    """detectron2 WarmupCosineLR (released configs: no warmup)."""
+
+    def sched(step):
+        import jax.numpy as jnp
+
+        t = jnp.minimum(step, max_iter) / max_iter
+        lr = base_lr * 0.5 * (1.0 + jnp.cos(math.pi * t))
+        if warmup_iters > 0:
+            alpha = jnp.minimum(step / warmup_iters, 1.0)
+            lr = lr * (warmup_factor * (1 - alpha) + alpha)
+        return lr
+
+    return sched
+
+
+def build_optimizer(cfg: CATSegConfig, params) -> optax.GradientTransformation:
+    labels = finetune_label_tree(params, cfg.clip_finetune)
+
+    def adamw(mult: float):
+        return optax.adamw(
+            learning_rate=cosine_lr(cfg.base_lr * mult, cfg.max_iter),
+            weight_decay=cfg.weight_decay,
+        )
+
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.multi_transform(
+            {"main": adamw(1.0), "clip": adamw(cfg.clip_multiplier), "frozen": optax.set_to_zero()},
+            labels,
+        ),
+    )
