@@ -101,31 +101,6 @@ def _shift_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-def _window_attention(
-    x: jnp.ndarray,
-    bp: dict,
-    dim: int,
-    heads: int,
-    mask: np.ndarray | None,
-) -> jnp.ndarray:
-    """W-MSA over (nW*B, N, C+Cg): q/k read the guidance-concatenated input,
-    v reads only the first ``dim`` channels (model.py:94-96)."""
-    Bw, N, _ = x.shape
-    D = dim // heads
-    q = _linear(x, bp["q_w"], bp["q_b"]).reshape(Bw, N, heads, D)
-    k = _linear(x, bp["k_w"], bp["k_b"]).reshape(Bw, N, heads, D)
-    v = _linear(x[..., :dim], bp["v_w"], bp["v_b"]).reshape(Bw, N, heads, D)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (D**-0.5), k, preferred_element_type=jnp.float32)
-    if mask is not None:
-        nW = mask.shape[0]
-        logits = logits.reshape(Bw // nW, nW, heads, N, N) + jnp.asarray(mask)[None, :, None]
-        logits = logits.reshape(Bw, heads, N, N)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(Bw, N, dim)
-    return _linear(out, bp["proj_w"], bp["proj_b"])
-
-
 def _swin_block(
     x: jnp.ndarray,
     guidance: jnp.ndarray | None,
@@ -133,23 +108,58 @@ def _swin_block(
     cfg: CATSegConfig,
     shift: int,
 ) -> jnp.ndarray:
-    """One Swin block over (BT, H, W, C) with guidance concat on q/k inputs
-    (model.py:185-225)."""
-    BT, H, W, C = x.shape
+    """One Swin block over (B, T, H, W, C) with guidance on q/k (model.py:185-225).
+
+    The reference concatenates guidance onto q/k inputs per (B*T) sequence
+    (model.py:94-96, 193-195).  Since ``linear(concat(x, g)) == linear_x(x) +
+    linear_g(g)`` and the guidance is identical across the T classes, we
+    compute the guidance half of the q/k projections once per *image* and
+    broadcast — cutting the projection FLOPs roughly in half at T=150 and
+    eliminating the (B*T, H, W, C+Cg) concat buffer entirely.
+    """
+    B, T, H, W, C = x.shape
     window = cfg.window_size
+    heads = cfg.num_heads
+    D = C // heads
+    mask = _shift_mask(H, W, window, shift) if shift > 0 else None
+
     shortcut = x
     x = layer_norm(x, bp["norm1"]["g"], bp["norm1"]["b"])
+
+    def _shift_part(t, n_batch):
+        if shift > 0:
+            t = jnp.roll(t, (-shift, -shift), axis=(1, 2))
+        return window_partition(t, window).reshape(n_batch, -1, window * window, t.shape[-1])
+
+    xw = _shift_part(x.reshape(B * T, H, W, C), B * T)  # (BT, nW, N, C)
+    nW, N = xw.shape[1], xw.shape[2]
+
+    q = _linear(xw, bp["q_w"][:C], bp["q_b"])
+    k = _linear(xw, bp["k_w"][:C], bp["k_b"])
+    v = _linear(xw, bp["v_w"], bp["v_b"])
     if guidance is not None:
-        x = jnp.concatenate([x, guidance], axis=-1)
+        gw = _shift_part(guidance, B)  # (B, nW, N, Cg)
+        qg = _linear(gw, bp["q_w"][C:])  # bias already added via x-part
+        kg = _linear(gw, bp["k_w"][C:])
+        q = (q.reshape(B, T, nW, N, C) + qg[:, None]).reshape(B * T, nW, N, C)
+        k = (k.reshape(B, T, nW, N, C) + kg[:, None]).reshape(B * T, nW, N, C)
+
+    q = q.reshape(-1, N, heads, D)
+    k = k.reshape(-1, N, heads, D)
+    v = v.reshape(-1, N, heads, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (D**-0.5), k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits.reshape(B * T, nW, heads, N, N) + jnp.asarray(mask)[None, :, None]
+        logits = logits.reshape(-1, heads, N, N)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(-1, N, C)
+    out = _linear(out, bp["proj_w"], bp["proj_b"])
+
+    out = window_reverse(out.reshape(B * T * nW, N, C), window, H, W)
     if shift > 0:
-        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-    wins = window_partition(x, window)
-    mask = _shift_mask(H, W, window, shift) if shift > 0 else None
-    wins = _window_attention(wins, bp, C, cfg.num_heads, mask)
-    x = window_reverse(wins, window, H, W)
-    if shift > 0:
-        x = jnp.roll(x, (shift, shift), axis=(1, 2))
-    x = shortcut + x
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    x = shortcut + out.reshape(B, T, H, W, C)
     y = layer_norm(x, bp["norm2"]["g"], bp["norm2"]["b"])
     y = _linear(jax.nn.gelu(_linear(y, bp["fc1_w"], bp["fc1_b"]), approximate=False), bp["fc2_w"], bp["fc2_b"])
     return x + y
@@ -163,15 +173,12 @@ def spatial_aggregation(
 ) -> jnp.ndarray:
     """Swin pair (shift 0 then window/2) on the (B*T) spatial batch
     (model.py:228-253).  x: (B, T, H, W, C); guidance: (B, H, W, Cg)."""
-    B, T, H, W, C = x.shape
-    x = x.reshape(B * T, H, W, C)
     guid = None
     if appearance_guidance is not None:
         guid = layer_norm(appearance_guidance, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
-        guid = jnp.broadcast_to(guid[:, None], (B, T) + guid.shape[1:]).reshape(B * T, H, W, -1)
     x = _swin_block(x, guid, layer["swin1"], cfg, shift=0)
     x = _swin_block(x, guid, layer["swin2"], cfg, shift=cfg.window_size // 2)
-    return x.reshape(B, T, H, W, C)
+    return x
 
 
 # ---------------------------------------------------------- class attention
@@ -201,16 +208,32 @@ def _full_attention(q, k, v):
     return jnp.einsum("nlsh,nshd->nlhd", attn, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _class_attention_inner(x: jnp.ndarray, guidance: jnp.ndarray | None, cp: dict, cfg: CATSegConfig) -> jnp.ndarray:
+def _class_attention_inner(
+    x: jnp.ndarray,
+    guidance: jnp.ndarray | None,
+    cp: dict,
+    cfg: CATSegConfig,
+    n_pos: int = 1,
+) -> jnp.ndarray:
     """AttentionLayer (model.py:323-354): q/k see text guidance concat, v does not.
 
-    x: (N, T, C); guidance: (N, T, Cg) or None.
+    x: (N, T, C); guidance: (N // n_pos, T, Cg) or None — the text guidance is
+    identical across the n_pos pooled spatial positions of each image, so its
+    share of the q/k projections (``linear(concat) == linear_x + linear_g``)
+    is computed once per (image, class) and broadcast.
     """
     heads = cfg.num_heads
-    xin = x if guidance is None else jnp.concatenate([x, guidance.astype(x.dtype)], axis=-1)
-    N, T, _ = x.shape
-    q = _linear(xin, cp["q_w"], cp["q_b"]).reshape(N, T, heads, -1)
-    k = _linear(xin, cp["k_w"], cp["k_b"]).reshape(N, T, heads, -1)
+    N, T, C = x.shape
+    q = _linear(x, cp["q_w"][:C], cp["q_b"])
+    k = _linear(x, cp["k_w"][:C], cp["k_b"])
+    if guidance is not None:
+        g = guidance.astype(x.dtype)
+        qg = _linear(g, cp["q_w"][C:])
+        kg = _linear(g, cp["k_w"][C:])
+        q = (q.reshape(-1, n_pos, T, C) + qg[:, None]).reshape(N, T, C)
+        k = (k.reshape(-1, n_pos, T, C) + kg[:, None]).reshape(N, T, C)
+    q = q.reshape(N, T, heads, -1)
+    k = k.reshape(N, T, heads, -1)
     v = _linear(x, cp["v_w"], cp["v_b"]).reshape(N, T, heads, -1)
     if cfg.attention_type == "linear":
         out = _linear_attention(q, k, v)
@@ -252,15 +275,11 @@ def class_aggregation(
             text_guidance = jnp.concatenate([text_guidance, pad_guid], axis=1)
     Tp = xp.shape[1]
 
-    # (B, Tp, Hp, Wp, C) -> (B*Hp*Wp, Tp, C)
+    # (B, Tp, Hp, Wp, C) -> (B*Hp*Wp, Tp, C); guidance stays (B, Tp, Cg)
     seq = xp.transpose(0, 2, 3, 1, 4).reshape(B * Hp * Wp, Tp, C)
-    guid = None
-    if text_guidance is not None:
-        guid = jnp.broadcast_to(text_guidance[:, None], (B, Hp * Wp, Tp, text_guidance.shape[-1]))
-        guid = guid.reshape(B * Hp * Wp, Tp, -1)
 
     normed = layer_norm(seq, cp["norm1"]["g"], cp["norm1"]["b"])
-    seq = seq + _class_attention_inner(normed, guid, cp, cfg)
+    seq = seq + _class_attention_inner(normed, text_guidance, cp, cfg, n_pos=Hp * Wp)
     normed = layer_norm(seq, cp["norm2"]["g"], cp["norm2"]["b"])
     seq = seq + _linear(jax.nn.relu(_linear(normed, cp["mlp1_w"], cp["mlp1_b"])), cp["mlp2_w"], cp["mlp2_b"])
 
