@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
     from catseg_tpu.configs import vitb384, eval_preset
     from catseg_tpu.core import catseg
-    from catseg_tpu.infer.pipeline import Predictor, resize_argmax, resize_weights
+    from catseg_tpu.infer.pipeline import Predictor, resize_argmax_dynamic
 
     cfg = eval_preset(vitb384())
     T = 150
@@ -43,25 +43,28 @@ def main():
     sizes = [(640, 853), (640, 960), (853, 640), (640, 640)]
     orig_sizes = [(512, 683), (512, 768), (683, 512), (512, 512)]
     canvas = (768, 768)
-    images = [rng.randint(0, 255, (h, w, 3)).astype(np.float32) for h, w in sizes]
+    images = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8).astype(np.uint8) for h, w in sizes]
 
     def run_one(i):
         img = images[i % len(images)]
         H, W = orig_sizes[i % len(orig_sizes)]
         probs = predictor.probs_sliding(img)
-        wh = jnp.asarray(resize_weights(probs.shape[0], H, canvas[0]))
-        ww = jnp.asarray(resize_weights(probs.shape[1], W, canvas[1]))
-        return resize_argmax(probs, wh, ww)
+        return resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), canvas)
+
+    def sync(x):
+        # under the tunneled runtime block_until_ready returns before the
+        # device finishes; a scalar fetch is the only true barrier
+        return int(jnp.sum(x))
 
     # warmup / compile every shape variant
     for i in range(len(sizes)):
-        jax.block_until_ready(run_one(i))
+        sync(run_one(i))
 
-    n = 24
+    n = 48
     t0 = time.time()
     for i in range(n):
         pred = run_one(i)
-    jax.block_until_ready(pred)
+    sync(pred)  # device executes in order: the last sync drains the queue
     dt = time.time() - t0
     ims = n / dt
 

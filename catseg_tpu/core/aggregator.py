@@ -144,16 +144,17 @@ def _swin_block(
         q = (q.reshape(B, T, nW, N, C) + qg[:, None]).reshape(B * T, nW, N, C)
         k = (k.reshape(B, T, nW, N, C) + kg[:, None]).reshape(B * T, nW, N, C)
 
-    q = q.reshape(-1, N, heads, D)
-    k = k.reshape(-1, N, heads, D)
-    v = v.reshape(-1, N, heads, D)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (D**-0.5), k, preferred_element_type=jnp.float32)
-    if mask is not None:
-        logits = logits.reshape(B * T, nW, heads, N, N) + jnp.asarray(mask)[None, :, None]
-        logits = logits.reshape(-1, heads, N, N)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(-1, N, C)
+    from ..kernels import fused_window_attention
+
+    add_mask = mask if mask is not None else np.zeros((nW, N, N), dtype=np.float32)
+    out = fused_window_attention(
+        q.reshape(-1, N, C),
+        k.reshape(-1, N, C),
+        v.reshape(-1, N, C),
+        jnp.asarray(add_mask),
+        cfg.num_heads,
+        D**-0.5,
+    )
     out = _linear(out, bp["proj_w"], bp["proj_b"])
 
     out = window_reverse(out.reshape(B * T * nW, N, C), window, H, W)

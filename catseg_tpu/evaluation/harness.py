@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..configs import CATSegConfig, eval_preset
 from ..data.catalogs import get_dataset, load_class_names
 from ..data.loader import Prefetcher, list_dataset, load_gt, load_image, resize_shortest_edge
-from ..infer.pipeline import Predictor, resize_argmax, resize_weights
+from ..infer.pipeline import Predictor, resize_argmax_dynamic
 from .miou import ConfusionAccumulator
 
 
@@ -76,9 +76,7 @@ def evaluate_benchmark(
     for (img, gt) in Prefetcher(pairs, load):
         H, W = gt.shape
         probs = predictor.probs_sliding(img)
-        wh = jnp.asarray(resize_weights(probs.shape[0], H, Hc))
-        ww = jnp.asarray(resize_weights(probs.shape[1], W, Wc))
-        pred = resize_argmax(probs, wh, ww)
+        pred = resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), (Hc, Wc))
         gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=np.int32)
         gt_pad[:H, :W] = gt
         acc.update(pred, gt_pad)

@@ -59,20 +59,28 @@ def sliding_window_probs(
 def sliding_window_probs_from_canvas(
     params: dict,
     image_canvas: jnp.ndarray,
-    wh640: jnp.ndarray,
-    ww640: jnp.ndarray,
-    whk: jnp.ndarray,
-    wwk: jnp.ndarray,
+    hw: jnp.ndarray,
     text_feats: jnp.ndarray,
     cfg: CATSegConfig,
 ) -> jnp.ndarray:
     """Same as sliding_window_probs but the input resizes happen on device.
 
-    image_canvas: (Hc, Wc, 3) raw RGB zero-padded to a static canvas; the
-    (640, Hc)/(640, Wc)/(k, Hc)/(k, Wc) interpolation-weight inputs encode the
-    true image size (zero columns beyond it), so the host only pays a memcpy.
+    image_canvas: (Hc, Wc, 3) raw RGB (uint8 preferred — 4x cheaper over the
+    tunnel) zero-padded to a static canvas; hw: (2,) int32 true image size.
+    The exact torch-bilinear interpolation weights are built *in-graph* from
+    the runtime size (ops.resize.bilinear_row_weights_dynamic), so the only
+    per-image host traffic is the image bytes themselves.
     """
+    from ..ops.resize import bilinear_row_weights_dynamic
+
+    Hc, Wc = image_canvas.shape[:2]
     img = image_canvas.astype(jnp.float32)
+    out = cfg.sw_out_res
+    k = cfg.sw_kernel
+    wh640 = bilinear_row_weights_dynamic(out, hw[0], Hc)
+    ww640 = bilinear_row_weights_dynamic(out, hw[1], Wc)
+    whk = bilinear_row_weights_dynamic(k, hw[0], Hc)
+    wwk = bilinear_row_weights_dynamic(k, hw[1], Wc)
     img640 = jnp.einsum("hwc,Hh->Hwc", img, wh640)
     img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
     imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
@@ -91,6 +99,23 @@ def whole_image_probs(
     (whole-image branch, cat_seg_model.py:147-155,220-229)."""
     logits = catseg.forward(params, image[None], text_feats, cfg)[0]
     return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("canvas", "chunk"))
+def resize_argmax_dynamic(
+    probs: jnp.ndarray,
+    out_hw: jnp.ndarray,
+    canvas: tuple[int, int],
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """resize_argmax with the true output size as a runtime (2,) int32 input;
+    interpolation weights are built in-graph (zero per-image host traffic)."""
+    from ..ops.resize import bilinear_row_weights_dynamic_out
+
+    h, w = probs.shape[:2]
+    wh = bilinear_row_weights_dynamic_out(canvas[0], out_hw[0], h)
+    ww = bilinear_row_weights_dynamic_out(canvas[1], out_hw[1], w)
+    return resize_argmax(probs, wh, ww, chunk=chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -183,15 +208,11 @@ class Predictor:
         else:
             Hc = -(-h // 256) * 256
             Wc = -(-w // 256) * 256
-        canvas = np.zeros((Hc, Wc, 3), dtype=np.float32)
+        dtype = np.uint8 if image.dtype == np.uint8 else np.float32
+        canvas = np.zeros((Hc, Wc, 3), dtype=dtype)
         canvas[:h, :w] = image
-        wh640 = resize_weights(h, cfg.sw_out_res, cfg.sw_out_res, in_pad=Hc)
-        ww640 = resize_weights(w, cfg.sw_out_res, cfg.sw_out_res, in_pad=Wc)
-        whk = resize_weights(h, cfg.sw_kernel, cfg.sw_kernel, in_pad=Hc)
-        wwk = resize_weights(w, cfg.sw_kernel, cfg.sw_kernel, in_pad=Wc)
         return sliding_window_probs_from_canvas(
-            self.params, jnp.asarray(canvas),
-            jnp.asarray(wh640), jnp.asarray(ww640), jnp.asarray(whk), jnp.asarray(wwk),
+            self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32),
             self.text_feats, cfg,
         )
 
@@ -213,8 +234,5 @@ class Predictor:
         H, W = out_hw or image.shape[:2]
         cH, cW = canvas or (H, W)
         probs = self.probs_sliding(image)
-        h, w = probs.shape[:2]
-        wh = jnp.asarray(resize_weights(h, H, cH))
-        ww = jnp.asarray(resize_weights(w, W, cW))
-        pred = resize_argmax(probs, wh, ww)
+        pred = resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), (cH, cW))
         return np.asarray(pred)[:H, :W]

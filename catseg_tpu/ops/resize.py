@@ -123,6 +123,63 @@ def resize_bicubic(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool 
     return _apply_separable(x, _cubic_weights(h, oh, align_corners), _cubic_weights(w, ow, align_corners))
 
 
+def bilinear_row_weights_dynamic(
+    out_size: int,
+    in_size,
+    in_pad: int,
+    valid_out=None,
+) -> jnp.ndarray:
+    """(out_size, in_pad) torch-bilinear (align_corners=False) weights with a
+    *runtime* input length, built in-graph.
+
+    in_size: traced int scalar (true input extent; columns beyond it get zero
+    weight).  valid_out: optional traced int scalar — rows >= valid_out are
+    zeroed (for padded output canvases).  fp32 coordinate math matches torch.
+    """
+    i = jnp.arange(out_size, dtype=jnp.float32)[:, None]
+    insz = jnp.asarray(in_size, jnp.int32)
+    scale = insz.astype(jnp.float32) / jnp.float32(out_size)
+    x = (i + 0.5) * scale - 0.5
+    x = jnp.maximum(x, 0.0)
+    x0 = jnp.floor(x)
+    f = x - x0
+    last = insz - 1
+    x0i = jnp.minimum(x0.astype(jnp.int32), last)
+    x1i = jnp.minimum(x0i + 1, last)
+    cols = jnp.arange(in_pad, dtype=jnp.int32)[None, :]
+    w = (cols == x0i) * (1.0 - f) + (cols == x1i) * f
+    if valid_out is not None:
+        rows = jnp.arange(out_size, dtype=jnp.int32)[:, None]
+        w = w * (rows < jnp.asarray(valid_out, jnp.int32))
+    return w.astype(jnp.float32)
+
+
+def bilinear_row_weights_dynamic_out(
+    rows_pad: int,
+    out_size,
+    in_size: int,
+) -> jnp.ndarray:
+    """(rows_pad, in_size) torch-bilinear weights with a *runtime* output
+    length: rows < out_size interpolate the static-length input, rows beyond
+    are zero.  Used for resizing to per-image original sizes on a padded
+    canvas without recompiles."""
+    i = jnp.arange(rows_pad, dtype=jnp.float32)[:, None]
+    outsz = jnp.asarray(out_size, jnp.int32).astype(jnp.float32)
+    scale = jnp.float32(in_size) / outsz
+    x = (i + 0.5) * scale - 0.5
+    x = jnp.maximum(x, 0.0)
+    x0 = jnp.floor(x)
+    f = x - x0
+    last = in_size - 1
+    x0i = jnp.minimum(x0.astype(jnp.int32), last)
+    x1i = jnp.minimum(x0i + 1, last)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    w = (cols == x0i) * (1.0 - f) + (cols == x1i) * f
+    rows = jnp.arange(rows_pad, dtype=jnp.int32)[:, None]
+    w = w * (rows < jnp.asarray(out_size, jnp.int32))
+    return w.astype(jnp.float32)
+
+
 def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """NHWC nearest resize (torch legacy 'nearest' index rule)."""
     h, w = x.shape[1], x.shape[2]

@@ -85,6 +85,30 @@ def test_resize_argmax_matches_torch():
     np.testing.assert_array_equal(got, want)
 
 
+def test_dynamic_weights_match_host():
+    from catseg_tpu.ops.resize import bilinear_row_weights_dynamic, _linear_weights
+
+    for in_size, out_size, pad in [(640, 384, 1024), (427, 640, 512), (96, 53, 96), (64, 64, 64)]:
+        got = np.asarray(bilinear_row_weights_dynamic(out_size, jnp.asarray(in_size), pad))
+        want = np.zeros((out_size, pad), np.float32)
+        want[:, :in_size] = _linear_weights(in_size, out_size, False)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # row masking for padded output canvases
+    got = np.asarray(bilinear_row_weights_dynamic(64, jnp.asarray(32), 64, valid_out=jnp.asarray(40)))
+    assert (got[40:] == 0).all() and (np.abs(got[:40]).sum(axis=1) > 0).all()
+
+
+def test_resize_argmax_dynamic_matches_static():
+    from catseg_tpu.infer.pipeline import resize_argmax_dynamic
+
+    rng = np.random.RandomState(5)
+    probs = rng.rand(20, 20, 9).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(probs).permute(2, 0, 1)[None], size=(33, 47),
+                         mode="bilinear", align_corners=False)[0].argmax(0).numpy()
+    pred = resize_argmax_dynamic(jnp.asarray(probs), jnp.asarray([33, 47], np.int32), (64, 64), chunk=4)
+    np.testing.assert_array_equal(np.asarray(pred)[:33, :47], want)
+
+
 def test_host_resize_matches_torch():
     rng = np.random.RandomState(2)
     img = rng.rand(37, 53, 3).astype(np.float32) * 255
