@@ -58,6 +58,7 @@ class FusionConfig:
     dual_guidance: bool = True  # second decoder-guidance pyramid
     encoder_resolution: int = 384
     clip_resolution: int = 768  # Ver31 runs CLIP at 768^2
+    guidance_blocks: tuple[int, int] = (3, 7)  # dino_feat[3]/[7] (Ver31:301-302)
 
 
 @dataclass(frozen=True)
@@ -146,3 +147,19 @@ def vitl336(**kw) -> CATSegConfig:
 def eval_preset(cfg: CATSegConfig) -> CATSegConfig:
     """The eval.sh protocol: sliding window + POOLING_SIZES [1,1]."""
     return cfg.replace(sliding_window=True, pooling_size=(1, 1))
+
+
+def fusion_ver31(**kw) -> CATSegConfig:
+    """The fork's final dual-encoder configuration (Ver31): RemoteCLIP
+    ViT-B/32 @ 768² + frozen DINO ViT-B/8 @ 384², no text guidance
+    (scripts/ablation_train_eval31.sh + implicit_fusion_Ver31.py:148-160)."""
+    base = dict(
+        clip=VITB32,
+        guidance_layers=(3, 7),
+        guidance_proj_dim=768,
+        text_guidance_dim=0,
+        appearance_guidance_dim=512,
+        fusion=FusionConfig(),
+    )
+    base.update(kw)
+    return CATSegConfig(**base)

@@ -1,0 +1,231 @@
+"""Dual-encoder fusion pathway.
+
+One parameterized implementation of the reference fork's 44 ImplicitFusion
+variants (SURVEY.md §2.4), with the final published configuration (Ver31,
+reference: cat_seg/implicit_fusion_Ver31.py:148-374 +
+cat_seg/modeling/transformer/FusionAggregatorVer31.py) as the default:
+
+- CLIP (RemoteCLIP ViT-B/32) runs at 768² (grid 24); a frozen DINO ViT-B/8
+  runs at 384² (grid 48);
+- the DINO last-layer map is downsampled (conv k2 s2, 768->512) to a second
+  24² feature and correlated against the same text features -> second cost
+  volume; per-corr top-k when T > pad_len (classes from the CLIP corr drive
+  the final scatter);
+- both volumes embed through their own 7x7 conv, sigmoid, concat, 7x7 fusion
+  conv, sigmoid, + residual from the CLIP embed
+  (corr_fusion_embed_seperate, FusionAggregatorVer31.py:138-154);
+- DINO blocks 4/8 form a second decoder-guidance pyramid (conv1x1 768->256 @48²,
+  ConvT 768->128 @96²; implicit_fusion_Ver31.py:156-157) and the FusionUP
+  decoder concatenates both guidance pyramids (FusionAggregator.py:757-772).
+
+The aggregator layer stack itself is shared with the single-encoder model.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import CATSegConfig
+from ..ops import conv2d, resize_bilinear
+from ..ops.conv import conv_transpose2d_nonoverlap
+from .aggregator import (
+    _double_conv,
+    _linear,
+    class_aggregation,
+    corr_embed,
+    correlation,
+    gather_classes,
+    l2_normalize,
+    scatter_full_logits,
+    spatial_aggregation,
+    topk_classes,
+)
+from .catseg import normalize_clip
+from .clip import encode_image
+from .dino import DINO_VARIANTS, get_intermediate_layers, init_dino_params
+
+
+def _corr_embed2(corr: jnp.ndarray, conv: dict) -> jnp.ndarray:
+    B, T, H, W, P = corr.shape
+    x = conv2d(corr.reshape(B * T, H, W, P), conv["w"], conv["b"], padding=3)
+    return x.reshape(B, T, H, W, -1)
+
+
+def _fusion_up(x, clip_g, dino_g, dp):
+    """FusionUP (FusionAggregator.py:757-772): ConvT then concat BOTH guidances."""
+    x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
+    if clip_g is not None:
+        T = x.shape[0] // clip_g.shape[0]
+
+        def rep(g):
+            gg = jnp.broadcast_to(g[:, None], (g.shape[0], T) + g.shape[1:])
+            return gg.reshape(x.shape[0], *g.shape[1:]).astype(x.dtype)
+
+        x = jnp.concatenate([x, rep(clip_g), rep(dino_g)], axis=-1)
+    return _double_conv(x, dp)
+
+
+def fusion_aggregator_forward(
+    agg: dict,
+    img_feats: jnp.ndarray,
+    dino_feats: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    appearance_guidance: tuple,
+    dino_guidance: tuple,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """FusionAggregatorVer31.forward (FusionAggregatorVer31.py:199-273)."""
+    T = text_feats.shape[1]
+    corr = correlation(img_feats, text_feats)
+    dino_corr = correlation(dino_feats, text_feats)
+
+    classes = None
+    if cfg.pad_len > 0 and T > cfg.pad_len:
+        classes = topk_classes(corr, cfg.pad_len)
+        classes_dino = topk_classes(dino_corr, cfg.pad_len)
+        corr = gather_classes(corr, classes)
+        dino_corr = gather_classes(dino_corr, classes_dino)
+        text_feats = gather_classes(l2_normalize(text_feats, axis=-1), classes)
+
+    clip_embed = jax.nn.sigmoid(_corr_embed2(corr, agg["conv1"]).astype(jnp.float32)).astype(corr.dtype)
+    dino_embed = jax.nn.sigmoid(_corr_embed2(dino_corr, agg["conv2"]).astype(jnp.float32)).astype(corr.dtype)
+    fused = jnp.concatenate([clip_embed, dino_embed], axis=-1)
+    B, Tc, H, W, C2 = fused.shape
+    fused = conv2d(fused.reshape(B * Tc, H, W, C2), agg["fusion_corr"]["w"], agg["fusion_corr"]["b"], padding=3)
+    fused = jax.nn.sigmoid(fused.astype(jnp.float32)).astype(clip_embed.dtype).reshape(B, Tc, H, W, -1)
+    x = fused + clip_embed  # residual (FusionAggregatorVer31.py:237)
+
+    proj_guid = None
+    if "guidance_proj" in agg:
+        proj_guid = jax.nn.relu(
+            conv2d(appearance_guidance[0], agg["guidance_proj"]["w"], agg["guidance_proj"]["b"], padding=1)
+        )
+    clip_dec = [
+        jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
+        for p, g in zip(agg["clip_decoder_guidance_proj"], appearance_guidance[1:])
+    ]
+    dino_dec = [
+        jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
+        for p, g in zip(agg["dino_decoder_guidance_proj"], dino_guidance)
+    ]
+    text_guid = None
+    if "text_guidance_proj" in agg:
+        tf = jnp.mean(text_feats.astype(jnp.float32), axis=-2)
+        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+        text_guid = jax.nn.relu(_linear(tf.astype(x.dtype), agg["text_guidance_proj"]["w"], agg["text_guidance_proj"]["b"]))
+
+    for layer in agg["layers"]:
+        x = spatial_aggregation(x, proj_guid, layer, cfg)
+        x = class_aggregation(x, text_guid, layer, cfg)
+
+    xs = x.reshape(B * Tc, H, W, -1)
+    xs = _fusion_up(xs, clip_dec[0], dino_dec[0], agg["decoder1"])
+    xs = _fusion_up(xs, clip_dec[1], dino_dec[1], agg["decoder2"])
+    xs = conv2d(xs, agg["head"]["w"], agg["head"]["b"], padding=1)
+    logits = xs.reshape(B, Tc, xs.shape[1], xs.shape[2]).astype(jnp.float32)
+    if classes is not None:
+        logits = scatter_full_logits(logits, classes, T)
+    return logits
+
+
+def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig) -> jnp.ndarray:
+    """Full dual-encoder forward (implicit_fusion_Ver31.py:195-374).
+
+    images: (B, H, W, 3) raw RGB.  The DINO input is derived from the
+    CLIP-normalized, CLIP-resolution image exactly as the reference's
+    sliding-window branch does (implicit_fusion_Ver31.py:259-260).
+    """
+    fus = cfg.fusion
+    dtype = jnp.dtype(cfg.compute_dtype)
+    clip_images = normalize_clip(images)
+    clip_images = resize_bilinear(clip_images, (fus.clip_resolution, fus.clip_resolution))
+    dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
+
+    tokens, taps = encode_image(
+        params["clip"], clip_images.astype(dtype), cfg.clip, dense=True,
+        taps=cfg.guidance_layers, compute_dtype=dtype,
+    )
+    H, W = cfg.feature_resolution
+    B = tokens.shape[0]
+    res3 = tokens[:, 1:, :].reshape(B, H, W, -1)
+    res4 = conv_transpose2d_nonoverlap(
+        taps[0][:, 1:, :].reshape(B, H, W, -1), params["upsample1"]["w"], params["upsample1"]["b"], kernel=2
+    )
+    res5 = conv_transpose2d_nonoverlap(
+        taps[1][:, 1:, :].reshape(B, H, W, -1), params["upsample2"]["w"], params["upsample2"]["b"], kernel=4
+    )
+
+    dvar = DINO_VARIANTS[fus.encoder]
+    dino_layers = get_intermediate_layers(params["dino"], dino_images.astype(dtype), dvar,
+                                          n=dvar.layers, compute_dtype=dtype)
+    g = fus.encoder_resolution // dvar.patch  # 48 for Ver31
+    down = g // H  # 2 for Ver31
+    dino_last = dino_layers[-1][:, 1:, :].reshape(B, g, g, -1)
+    dino_feats = conv2d(dino_last, params["dino_down"]["w"], params["dino_down"]["b"], stride=down)
+    gb = fus.guidance_blocks
+    dino_l4 = dino_layers[gb[0]][:, 1:, :].reshape(B, g, g, -1)
+    dino_l8 = dino_layers[gb[1]][:, 1:, :].reshape(B, g, g, -1)
+    dino_g1 = conv2d(dino_l4, params["dino_proj1"]["w"], params["dino_proj1"]["b"])  # (B,48,48,256)
+    dino_g2 = conv_transpose2d_nonoverlap(dino_l8, params["dino_proj2"]["w"], params["dino_proj2"]["b"], kernel=2)
+
+    if text_feats.ndim == 3:
+        text_feats = jnp.broadcast_to(text_feats[None], (B,) + text_feats.shape)
+    return fusion_aggregator_forward(
+        params["agg"], res3, dino_feats, text_feats.astype(dtype),
+        (res3, res4, res5), (dino_g1, dino_g2), cfg,
+    )
+
+
+def init_fusion_params(rng, cfg: CATSegConfig) -> dict:
+    """Random-init fusion model parameters (Ver31 layout)."""
+    from .aggregator import _init_conv, init_aggregator_params
+    from .catseg import init_catseg_params
+
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
+    base = init_catseg_params(k1, cfg)
+    agg = base["agg"]
+    agg["conv2"] = _init_conv(k2, 7, 7, cfg.prompt_channel, cfg.hidden_dim)
+    agg["fusion_corr"] = _init_conv(k3, 7, 7, 2 * cfg.hidden_dim, cfg.hidden_dim)
+    agg["clip_decoder_guidance_proj"] = agg.pop("decoder_guidance_proj")
+    agg["dino_decoder_guidance_proj"] = [
+        _init_conv(k, 3, 3, d, dp)
+        for k, d, dp in zip(jax.random.split(k4, 2), cfg.decoder_guidance_dims, cfg.decoder_guidance_proj_dims)
+    ]
+    # FusionUP decoders take in+guid channels into the DoubleConv
+    hd = cfg.hidden_dim
+    gp = cfg.decoder_guidance_proj_dims
+
+    def _fusion_up_params(rng, cin, cout, guid):
+        kk1, kk2, kk3 = jax.random.split(rng, 3)
+        upc = cin - guid
+        bound = (1.0 / (cin * 4)) ** 0.5
+        return {
+            "up_w": jax.random.uniform(kk1, (cin, 2, 2, upc), minval=-bound, maxval=bound),
+            "up_b": jax.random.uniform(kk1, (upc,), minval=-bound, maxval=bound),
+            "conv1_w": _init_conv(kk2, 3, 3, cin + guid, cout, bias=False)["w"],
+            "gn1": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
+            "conv2_w": _init_conv(kk3, 3, 3, cout, cout, bias=False)["w"],
+            "gn2": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
+        }
+
+    agg["decoder1"] = _fusion_up_params(k5, hd, cfg.decoder_dims[0], gp[0])
+    agg["decoder2"] = _fusion_up_params(k6, cfg.decoder_dims[0], cfg.decoder_dims[1], gp[1])
+
+    kd1, kd2, kd3, kd4 = jax.random.split(k7, 4)
+    dvar = DINO_VARIANTS[cfg.fusion.encoder]
+    dw = dvar.width
+    down = (cfg.fusion.encoder_resolution // dvar.patch) // cfg.feature_resolution[0]
+    dg = cfg.decoder_guidance_dims
+    base.update(
+        {
+            "dino": init_dino_params(kd1, dvar),
+            "dino_down": _init_conv(kd2, down, down, dw, cfg.clip.embed_dim),
+            "dino_proj1": _init_conv(kd3, 1, 1, dw, dg[0]),
+            "dino_proj2": {
+                "w": jax.random.uniform(kd4, (dw, 2, 2, dg[1]), minval=-0.02, maxval=0.02),
+                "b": jnp.zeros(dg[1]),
+            },
+        }
+    )
+    return base

@@ -1,0 +1,102 @@
+"""DINO encoder parity + fusion model smoke tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from catseg_tpu.core import dino as jdino
+from catseg_tpu.core.dino import DINOVariant, DINO_VARIANTS
+
+from torch_oracle import dino_intermediate_layers
+
+MINI = DINOVariant(patch=8, width=64, layers=3, heads=4, pretrain_grid=4)
+
+
+def _mini_dino_sd(seed=0):
+    g = torch.Generator().manual_seed(seed)
+
+    def r(*s):
+        return torch.randn(*s, generator=g) * 0.05
+
+    sd = {
+        "patch_embed.proj.weight": r(MINI.width, 3, MINI.patch, MINI.patch),
+        "patch_embed.proj.bias": 0.1 * r(MINI.width),
+        "cls_token": r(1, 1, MINI.width),
+        "pos_embed": r(1, MINI.pretrain_grid**2 + 1, MINI.width),
+        "norm.weight": 1 + 0.1 * r(MINI.width),
+        "norm.bias": 0.1 * r(MINI.width),
+    }
+    for i in range(MINI.layers):
+        p = f"blocks.{i}"
+        w = MINI.width
+        sd[p + ".norm1.weight"] = 1 + 0.1 * r(w)
+        sd[p + ".norm1.bias"] = 0.1 * r(w)
+        sd[p + ".attn.qkv.weight"] = r(3 * w, w)
+        sd[p + ".attn.qkv.bias"] = 0.1 * r(3 * w)
+        sd[p + ".attn.proj.weight"] = r(w, w)
+        sd[p + ".attn.proj.bias"] = 0.1 * r(w)
+        sd[p + ".norm2.weight"] = 1 + 0.1 * r(w)
+        sd[p + ".norm2.bias"] = 0.1 * r(w)
+        sd[p + ".mlp.fc1.weight"] = r(4 * w, w)
+        sd[p + ".mlp.fc1.bias"] = 0.1 * r(4 * w)
+        sd[p + ".mlp.fc2.weight"] = r(w, 4 * w)
+        sd[p + ".mlp.fc2.bias"] = 0.1 * r(w)
+    return sd
+
+
+def test_dino_parity_with_pos_interp():
+    sd = _mini_dino_sd()
+    params = jdino.convert_dino_state_dict({k: t.numpy() for k, t in sd.items()})
+    rng = np.random.RandomState(3)
+    imgs = rng.randn(2, 64, 64, 3).astype(np.float32)  # grid 8 != pretrain 4
+    want = dino_intermediate_layers(
+        sd, torch.from_numpy(imgs).permute(0, 3, 1, 2).contiguous(),
+        patch=MINI.patch, layers=MINI.layers, heads=MINI.heads,
+        pretrain_grid=MINI.pretrain_grid, n=3,
+    )
+    got = jdino.get_intermediate_layers(params, jnp.asarray(imgs), MINI, n=3)
+    assert len(got) == len(want) == 3
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), w_.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_fusion_forward_smoke():
+    from catseg_tpu.core import fusion
+    from catseg_tpu.configs import FusionConfig
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    cfg = mini_cfg(
+        fusion=FusionConfig(encoder="mini_dino", encoder_resolution=128, clip_resolution=128, guidance_blocks=(0, 1)),
+        text_guidance_dim=0,
+    )
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (2, 128, 128, 3)).astype(np.float32)
+    text = rng.randn(7, 1, 48).astype(np.float32)
+    out = fusion.fusion_forward(params, jnp.asarray(imgs), jnp.asarray(text), cfg)
+    assert out.shape == (2, 7, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fusion_topk_scatter():
+    from catseg_tpu.core import fusion
+    from catseg_tpu.configs import FusionConfig
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    cfg = mini_cfg(
+        fusion=FusionConfig(encoder="mini_dino", encoder_resolution=128, clip_resolution=128, guidance_blocks=(0, 1)),
+        text_guidance_dim=0,
+        pad_len=6,
+    )
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (1, 128, 128, 3)).astype(np.float32)
+    text = rng.randn(11, 1, 48).astype(np.float32)
+    out = np.asarray(fusion.fusion_forward(params, jnp.asarray(imgs), jnp.asarray(text), cfg))
+    assert out.shape == (1, 11, 32, 32)
+    assert ((out == -100.0).all(axis=(2, 3))).sum() == 11 - 6

@@ -291,3 +291,41 @@ def aggregator_torch(sd, img_feats, text_feats, guidance, *, heads, window, pool
         out.scatter_(1, classes[:, :, None, None].expand(-1, -1, Ho, Wo), logit)
         logit = out
     return logit
+
+
+# ----------------------------------------------------------------- DINO ViT
+
+
+def dino_intermediate_layers(sd, images_nchw, patch, layers, heads, pretrain_grid, n):
+    """facebookresearch/dino ViT oracle (vision_transformer.py semantics)."""
+    x = F.conv2d(images_nchw, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"],
+                 stride=patch)
+    B, C, gh, gw = x.shape
+    x = x.flatten(2).transpose(1, 2)
+    cls = sd["cls_token"].expand(B, -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    pe = sd["pos_embed"]
+    if x.shape[1] != pe.shape[1]:
+        cls_pe, grid_pe = pe[:, :1], pe[:, 1:]
+        scale = (gh + 0.1) / pretrain_grid
+        grid_pe = grid_pe.reshape(1, pretrain_grid, pretrain_grid, C).permute(0, 3, 1, 2)
+        grid_pe = F.interpolate(grid_pe, scale_factor=(scale, scale), mode="bicubic",
+                                recompute_scale_factor=False)
+        pe = torch.cat([cls_pe, grid_pe.permute(0, 2, 3, 1).reshape(1, -1, C)], dim=1)
+    x = x + pe
+    outs = []
+    for i in range(layers):
+        p = f"blocks.{i}"
+        y = _ln(sd, p + ".norm1", x)
+        qkv = F.linear(y, sd[p + ".attn.qkv.weight"], sd[p + ".attn.qkv.bias"])
+        N = x.shape[1]
+        D = C // heads
+        q, k, v = qkv.reshape(B, N, 3, heads, D).permute(2, 0, 3, 1, 4)
+        att = (q @ k.transpose(-2, -1) * D**-0.5).softmax(-1)
+        out = (att @ v).transpose(1, 2).reshape(B, N, C)
+        x = x + _l(sd, p + ".attn.proj", out)
+        y = _ln(sd, p + ".norm2", x)
+        x = x + _l(sd, p + ".mlp.fc2", F.gelu(_l(sd, p + ".mlp.fc1", y)))
+        if layers - i <= n:
+            outs.append(_ln(sd, "norm", x))
+    return outs
