@@ -115,4 +115,9 @@ def load_class_names(fname_or_dataset: str) -> list[str]:
 
 def get_dataset(name: str) -> DatasetSpec:
     name = BENCHMARKS.get(name, name)
+    if name not in DATASETS:
+        raise SystemExit(
+            f"unknown dataset/benchmark {name!r}; benchmarks: {sorted(BENCHMARKS)}, "
+            f"datasets: {sorted(DATASETS)}"
+        )
     return DATASETS[name]

@@ -24,16 +24,18 @@ def conv2d(
     padding: int = 0,
 ) -> jnp.ndarray:
     """NHWC conv with HWIO weights, torch 'zeros' padding semantics."""
+    # No preferred_element_type here: with bf16 operands it breaks the conv
+    # gradient rule (fp32 cotangent vs bf16 rhs); the TPU conv accumulates in
+    # fp32 internally either way.
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        out = (out.astype(jnp.float32) + b.astype(jnp.float32)).astype(out.dtype)
     return out.astype(x.dtype)
 
 

@@ -1,0 +1,48 @@
+"""Shared CLI plumbing: config resolution, KEY=VALUE overrides, checkpoints."""
+
+from __future__ import annotations
+
+import ast
+
+import numpy as np
+
+from .. import configs
+from ..configs import CATSegConfig
+
+PRESETS = {
+    "vitb384": configs.vitb384,
+    "vitl336": configs.vitl336,
+    "fusion_ver31": configs.fusion_ver31,
+}
+
+
+def resolve_config(name: str, overrides: list[str]) -> CATSegConfig:
+    """Preset name + KEY=VALUE overrides (values parsed as python literals)."""
+    if name not in PRESETS:
+        raise SystemExit(f"unknown config preset {name!r}; available: {sorted(PRESETS)}")
+    cfg = PRESETS[name]()
+    kw = {}
+    for ov in overrides:
+        key, _, value = ov.partition("=")
+        try:
+            kw[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            kw[key] = value
+    return cfg.replace(**kw) if kw else cfg
+
+
+def load_params(path: str | None, cfg: CATSegConfig, seed: int = 0):
+    """Checkpoint (.npz pytree or torch .pth) or random init."""
+    import jax
+
+    if path is None:
+        from ..core.catseg import init_catseg_params
+
+        return init_catseg_params(jax.random.PRNGKey(seed), cfg)
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from ..weights.convert import convert_catseg_checkpoint, load_torch_checkpoint
+
+        return convert_catseg_checkpoint(load_torch_checkpoint(path), num_layers=cfg.num_layers)
+    from ..weights.io import load_pytree
+
+    return load_pytree(path)

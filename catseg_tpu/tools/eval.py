@@ -1,0 +1,48 @@
+"""Benchmark evaluation CLI — the eval.sh equivalent.
+
+    python -m catseg_tpu.tools.eval --config vitb384 --checkpoint model.npz \
+        --benchmarks ade150,ade847,voc20,voc20b,pc59,pc459 [--limit N] [KEY=VALUE ...]
+
+Runs each benchmark with the eval.sh protocol (sliding window, pooling
+[1,1], per-benchmark class JSON) and prints a copypaste-style summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..evaluation.harness import evaluate_benchmark
+from .common import load_params, resolve_config
+
+DEFAULT_BENCHMARKS = "ade150,ade847,voc20,voc20b,pc59,pc459"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="vitb384")
+    ap.add_argument("--checkpoint", default=None, help=".npz pytree or torch .pth")
+    ap.add_argument("--benchmarks", default=DEFAULT_BENCHMARKS)
+    ap.add_argument("--data-root", default=None, help="defaults to $DETECTRON2_DATASETS")
+    ap.add_argument("--limit", type=int, default=None, help="cap images per benchmark")
+    ap.add_argument("--output", default=None, help="write metrics json here")
+    ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
+    args = ap.parse_args(argv)
+
+    cfg = resolve_config(args.config, args.overrides)
+    params = load_params(args.checkpoint, cfg)
+
+    results = {}
+    for bench in args.benchmarks.split(","):
+        bench = bench.strip()
+        m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit)
+        results[bench] = {k: v for k, v in m.items() if not hasattr(v, "shape")}
+        print(f"copypaste: {bench}: mIoU={m['mIoU']:.4f},fwIoU={m['fwIoU']:.4f},"
+              f"mACC={m['mACC']:.4f},pACC={m['pACC']:.4f}")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Training CLI — the train_net.py equivalent.
+
+    python -m catseg_tpu.tools.train --config vitb384 --output out/ \
+        [--steps N] [--resume] [--dataset coco_2017_train_stuff_all_sem_seg] [KEY=VALUE ...]
+
+Reproduces the reference recipe (SURVEY.md §3.1): COCO-Stuff-171 crops at
+384², AdamW 2e-4 cosine over 80k steps, CLIP LR x0.01 with attention-mode
+finetuning, full-model grad clip 0.01, batch 4.  Data parallel over all
+available devices via the mesh; no process launcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.catalogs import get_dataset, load_class_names
+from ..data.loader import list_dataset
+from ..data.mapper import train_batches
+from ..text.tokenizer import tokenize
+from ..train import init_train_state
+from ..train.loop import train
+from .common import load_params, resolve_config
+
+
+def main(argv=None):
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="vitb384")
+    ap.add_argument("--output", default="output")
+    ap.add_argument("--dataset", default="coco_2017_train_stuff_all_sem_seg")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--steps", type=int, default=None, help="default: cfg.max_iter")
+    ap.add_argument("--checkpoint", default=None, help="initial weights (.npz/.pth)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+
+    cfg = resolve_config(args.config, args.overrides)
+    os.makedirs(args.output, exist_ok=True)
+    ckpt_path = os.path.join(args.output, "model_last.npz")
+
+    init = args.checkpoint
+    if args.resume and os.path.exists(ckpt_path):
+        init = ckpt_path
+    params = load_params(init, cfg, seed=args.seed)
+
+    spec = get_dataset(args.dataset)
+    class_names = load_class_names(spec.class_json)
+    first_names = [n.split(", ")[0] if ", " in n else n for n in class_names]
+    tokens = tokenize([f"A photo of a {n} in the scene" for n in first_names])
+
+    pairs = list_dataset(spec, root=args.data_root)
+    rng = np.random.default_rng(args.seed)
+    data = train_batches(pairs, cfg.batch_size, rng, crop_size=cfg.crop_size,
+                         color_aug=cfg.color_aug, ignore=cfg.ignore_value)
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_class=1) if len(jax.devices()) > 1 else None
+    state, tx = init_train_state(jax.random.PRNGKey(args.seed), cfg, params=params)
+    train(state, tx, cfg, data, tokens, mesh=mesh, num_steps=args.steps,
+          checkpoint_path=ckpt_path)
+    from ..weights.io import save_pytree
+
+    save_pytree(os.path.join(args.output, "model_final.npz"), jax.device_get(state.params))
+    print(f"saved {os.path.join(args.output, 'model_final.npz')}")
+
+
+if __name__ == "__main__":
+    main()
