@@ -148,9 +148,26 @@ def encode_image(
 
     blocks = p["blocks"]
     n = variant.layers
-    bounds = sorted(set(t + 1 for t in taps)) + [n - 1]
+
+    # Visual prompt tokens (VPT, model_vpt.py:250-264): for the first
+    # prompt_depth layers, prompts are inserted after the CLS token, the
+    # block runs, and they are stripped again.  prompt_depth=0 in every
+    # released config; the capability is kept for the "prompt" finetune mode.
+    prompt_tokens = p.get("prompt_tokens")
+    n_prompted = 0 if prompt_tokens is None else prompt_tokens.shape[0]
     tapped_by_index = {}
-    start = 0
+    for i in range(n_prompted):
+        if i == n - 1:
+            break
+        L = prompt_tokens.shape[1]
+        prompts = jnp.broadcast_to(prompt_tokens[i].astype(x.dtype), (B, L, variant.width))
+        xp = jnp.concatenate([x[:, :1], prompts, x[:, 1:]], axis=1)
+        xp = _block(xp, _layer(blocks, i), variant.heads, None)
+        x = jnp.concatenate([xp[:, :1], xp[:, 1 + L :]], axis=1)
+        tapped_by_index[i] = x
+
+    bounds = sorted(set(t + 1 for t in taps if t + 1 > n_prompted)) + [n - 1]
+    start = n_prompted
     for stop in bounds:
         if stop > start:
             x = _scan_blocks(x, _slice_layers(blocks, start, stop), variant.heads, None)

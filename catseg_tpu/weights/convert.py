@@ -94,7 +94,7 @@ def convert_clip_state_dict(sd: dict) -> dict:
     sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
     n_vis = _count_layers(sd, "visual.transformer")
     n_txt = _count_layers(sd, "transformer")
-    visual = {
+    visual: dict = {
         "conv1_w": _conv(sd["visual.conv1.weight"]),
         "class_embedding": sd["visual.class_embedding"],
         "positional_embedding": sd["visual.positional_embedding"],
@@ -103,6 +103,8 @@ def convert_clip_state_dict(sd: dict) -> dict:
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": sd["visual.proj"],
     }
+    if "visual.transformer.prompt_tokens" in sd:  # VPT (model_vpt.py:252)
+        visual["prompt_tokens"] = sd["visual.transformer.prompt_tokens"]
     text = {
         "token_embedding": sd["token_embedding.weight"],
         "positional_embedding": sd["positional_embedding"],

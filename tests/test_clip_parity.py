@@ -129,3 +129,28 @@ def test_split_qkv_keys_equivalent(sd, params):
 
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vpt_prompt_tokens(params):
+    """VPT: prompts are inserted for the first prompt_depth layers and
+    stripped after each block — output shape is unchanged, values differ."""
+    import jax
+    import copy
+
+    rng = np.random.RandomState(9)
+    imgs = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    base_tokens, base_taps = jclip.encode_image(params, imgs, VARIANT, dense=True, taps=(1,))
+
+    p2 = dict(params)
+    p2["visual"] = dict(params["visual"])
+    p2["visual"]["prompt_tokens"] = jnp.asarray(
+        rng.randn(2, 3, VARIANT.width).astype(np.float32) * 0.1
+    )  # depth 2, length 3
+    tokens, taps = jclip.encode_image(p2, imgs, VARIANT, dense=True, taps=(1,))
+    assert tokens.shape == base_tokens.shape
+    assert taps[0].shape == base_taps[0].shape
+    assert not np.allclose(np.asarray(tokens), np.asarray(base_tokens))
+
+    # zero prompts at depth 2, length L: output differs from no-prompt run only
+    # through the attention over extra (zero+bias) tokens — still finite
+    assert np.isfinite(np.asarray(tokens)).all()

@@ -329,3 +329,83 @@ def dino_intermediate_layers(sd, images_nchw, patch, layers, heads, pretrain_gri
         if layers - i <= n:
             outs.append(_ln(sd, "norm", x))
     return outs
+
+
+# ----------------------------------------------------------------- SAM ViT
+
+
+def _sam_get_rel_pos(q_size, k_size, rel_pos):
+    max_rel = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel:
+        rel_pos = F.interpolate(rel_pos.reshape(1, rel_pos.shape[0], -1).permute(0, 2, 1),
+                                size=max_rel, mode="linear").reshape(-1, max_rel).permute(1, 0)
+    q_coords = torch.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = torch.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.long()]
+
+
+def _sam_attention(sd, p, x, heads):
+    B, H, W, C = x.shape
+    D = C // heads
+    qkv = F.linear(x.reshape(B, H * W, C), sd[p + ".attn.qkv.weight"], sd[p + ".attn.qkv.bias"])
+    qkv = qkv.reshape(B, H * W, 3, heads, D).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = q @ k.transpose(-2, -1) * D**-0.5
+    Rh = _sam_get_rel_pos(H, H, sd[p + ".attn.rel_pos_h"])
+    Rw = _sam_get_rel_pos(W, W, sd[p + ".attn.rel_pos_w"])
+    rq = q.reshape(B, heads, H, W, D)
+    rel_h = torch.einsum("bnhwd,hkd->bnhwk", rq, Rh)
+    rel_w = torch.einsum("bnhwd,wkd->bnhwk", rq, Rw)
+    attn = attn.view(B, heads, H, W, H, W) + rel_h[..., :, None] + rel_w[..., None, :]
+    attn = attn.view(B, heads, H * W, H * W).softmax(-1)
+    out = (attn @ v).reshape(B, heads, H * W, D).permute(0, 2, 1, 3).reshape(B, H * W, C)
+    return _l(sd, p + ".attn.proj", out).reshape(B, H, W, C)
+
+
+def _sam_win_part(x, ws):
+    B, H, W, C = x.shape
+    ph, pw = (ws - H % ws) % ws, (ws - W % ws) % ws
+    if ph or pw:
+        x = F.pad(x, (0, 0, 0, pw, 0, ph))
+    Hp, Wp = H + ph, W + pw
+    x = x.view(B, Hp // ws, ws, Wp // ws, ws, C).permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+    return x, (Hp, Wp)
+
+
+def _sam_win_unpart(w, ws, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = w.shape[-1]
+    B = w.shape[0] // ((Hp // ws) * (Wp // ws))
+    x = w.view(B, Hp // ws, Wp // ws, ws, ws, C).permute(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W]
+
+
+def sam_encoder(sd, images_nchw, patch, layers, heads, window, global_blocks):
+    x = F.conv2d(images_nchw, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=patch)
+    x = x.permute(0, 2, 3, 1)  # B H W C
+    x = x + sd["pos_embed"]
+    outs = []
+    for i in range(layers):
+        p = f"blocks.{i}"
+        ws = 0 if i in global_blocks else window
+        shortcut = x
+        y = _ln(sd, p + ".norm1", x)
+        if ws > 0:
+            y, pad_hw = _sam_win_part(y, ws)
+        y = _sam_attention(sd, p, y, heads)
+        if ws > 0:
+            y = _sam_win_unpart(y, ws, pad_hw, x.shape[1:3])
+        x = shortcut + y
+        y = _ln(sd, p + ".norm2", x)
+        x = x + _l(sd, p + ".mlp.lin2", F.gelu(_l(sd, p + ".mlp.lin1", y)))
+        outs.append(x)
+    n = x.permute(0, 3, 1, 2)
+    n = F.conv2d(n, sd["neck.0.weight"])
+    mu = n.mean(1, keepdim=True); var = ((n - mu) ** 2).mean(1, keepdim=True)
+    n = (n - mu) / (var + 1e-6).sqrt() * sd["neck.1.weight"][:, None, None] + sd["neck.1.bias"][:, None, None]
+    n = F.conv2d(n, sd["neck.2.weight"], padding=1)
+    mu = n.mean(1, keepdim=True); var = ((n - mu) ** 2).mean(1, keepdim=True)
+    n = (n - mu) / (var + 1e-6).sqrt() * sd["neck.3.weight"][:, None, None] + sd["neck.3.bias"][:, None, None]
+    return n.permute(0, 2, 3, 1), outs
