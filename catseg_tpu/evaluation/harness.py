@@ -34,9 +34,13 @@ def evaluate_benchmark(
     root: str | None = None,
     limit: int | None = None,
     verbose: bool = True,
+    sliding: bool = True,
 ) -> dict:
-    """Run one eval.sh benchmark; returns the metrics dict (+ images/sec)."""
-    cfg = eval_preset(cfg)
+    """Run one eval.sh benchmark; returns the metrics dict (+ images/sec).
+
+    sliding=False uses the whole-image branch (the reference's
+    train-time-eval / demo default, cat_seg_model.py:147-155)."""
+    cfg = eval_preset(cfg) if sliding else cfg.replace(sliding_window=False)
     spec = get_dataset(benchmark)
     class_names = load_class_names(spec.class_json)
     pairs = list_dataset(spec, root=root, limit=limit)
@@ -66,7 +70,7 @@ def evaluate_benchmark(
             nh, nw = nh * s2, nw * s2
         return int(nh + 0.5), int(nw + 0.5)
 
-    in_canvas = _canvas([_resized(s) for s in sizes])
+    in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
     predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
 
     acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
@@ -75,7 +79,7 @@ def evaluate_benchmark(
     n = 0
     for (img, gt) in Prefetcher(pairs, load):
         H, W = gt.shape
-        probs = predictor.probs_sliding(img)
+        probs = predictor.probs(img)
         pred = resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), (Hc, Wc))
         gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=np.int32)
         gt_pad[:H, :W] = gt

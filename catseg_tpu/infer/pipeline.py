@@ -89,6 +89,55 @@ def sliding_window_probs_from_canvas(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def whole_image_probs_from_canvas(
+    params: dict,
+    image_canvas: jnp.ndarray,
+    hw: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Whole-image branch (cat_seg_model.py:147-155,220-229) with static shapes.
+
+    The reference pads the *normalized* image to size-divisibility 384 with
+    zeros (ImageList) and resizes the whole padded tensor to clip_resolution;
+    here the canvas is zero-padded raw RGB, so after normalization the pad
+    region is re-zeroed, and the resize maps the true padded extent
+    (ceil(hw/384)*384) via runtime weights.  Returns (96, 96, T) sigmoid probs.
+    """
+    from ..ops.resize import bilinear_row_weights_dynamic
+
+    Hc, Wc = image_canvas.shape[:2]
+    img = normalize_clip_padded(image_canvas, hw)
+    div = cfg.crop_size  # SIZE_DIVISIBILITY 384
+    ph = ((hw[0] + div - 1) // div) * div
+    pw = ((hw[1] + div - 1) // div) * div
+    R = cfg.clip_resolution
+    whr = bilinear_row_weights_dynamic(R, ph, Hc)
+    wwr = bilinear_row_weights_dynamic(R, pw, Wc)
+    img = jnp.einsum("hwc,Hh->Hwc", img, whr)
+    img = jnp.einsum("Hwc,Ww->HWc", img, wwr)
+    from ..core.catseg import clip_guidance_features
+    from ..core.aggregator import aggregator_forward
+
+    img_feats, guidance = clip_guidance_features(params, img[None], cfg)
+    tf = text_feats[None] if text_feats.ndim == 3 else text_feats
+    dtype = jnp.dtype(cfg.compute_dtype)
+    logits = aggregator_forward(params["agg"], img_feats, tf.astype(dtype), guidance, cfg)[0]
+    return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
+
+
+def normalize_clip_padded(image_canvas: jnp.ndarray, hw: jnp.ndarray) -> jnp.ndarray:
+    """CLIP-normalize and zero everything beyond the true (h, w) extent."""
+    from ..core.catseg import normalize_clip
+
+    Hc, Wc = image_canvas.shape[:2]
+    img = normalize_clip(image_canvas.astype(jnp.float32))
+    rows = jnp.arange(Hc)[:, None] < hw[0]
+    cols = jnp.arange(Wc)[None, :] < hw[1]
+    return img * (rows & cols)[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def whole_image_probs(
     params: dict,
     image: jnp.ndarray,
@@ -215,6 +264,26 @@ class Predictor:
             self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32),
             self.text_feats, cfg,
         )
+
+    def probs_whole(self, image: np.ndarray) -> jnp.ndarray:
+        """Whole-image (non-sliding) branch -> (96, 96, T) probs."""
+        cfg = self.cfg
+        h, w = image.shape[:2]
+        div = cfg.crop_size
+        if self.input_canvas is not None:
+            Hc, Wc = self.input_canvas
+        else:
+            Hc = -(-h // div) * div
+            Wc = -(-w // div) * div
+        dtype = np.uint8 if image.dtype == np.uint8 else np.float32
+        canvas = np.zeros((Hc, Wc, 3), dtype=dtype)
+        canvas[:h, :w] = image
+        return whole_image_probs_from_canvas(
+            self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32), self.text_feats, cfg
+        )
+
+    def probs(self, image: np.ndarray) -> jnp.ndarray:
+        return self.probs_sliding(image) if self.cfg.sliding_window else self.probs_whole(image)
 
     def predict(self, image: np.ndarray, out_hw: tuple[int, int] | None = None) -> dict:
         """Full-resolution class probabilities for one image (demo path)."""

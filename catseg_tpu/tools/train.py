@@ -42,12 +42,8 @@ def main(argv=None):
 
     cfg = resolve_config(args.config, args.overrides)
     os.makedirs(args.output, exist_ok=True)
-    ckpt_path = os.path.join(args.output, "model_last.npz")
 
-    init = args.checkpoint
-    if args.resume and os.path.exists(ckpt_path):
-        init = ckpt_path
-    params = load_params(init, cfg, seed=args.seed)
+    params = load_params(args.checkpoint, cfg, seed=args.seed)
 
     spec = get_dataset(args.dataset)
     class_names = load_class_names(spec.class_json)
@@ -63,8 +59,19 @@ def main(argv=None):
 
     mesh = make_mesh(n_class=1) if len(jax.devices()) > 1 else None
     state, tx = init_train_state(jax.random.PRNGKey(args.seed), cfg, params=params)
+
+    if args.resume:
+        from ..train.checkpoint import latest_checkpoint, load_train_state
+
+        last = latest_checkpoint(args.output)
+        if last:
+            state.params, state.opt_state, state.step = load_train_state(
+                last, state.params, state.opt_state
+            )
+            print(f"resumed from {last} at step {state.step}")
+
     train(state, tx, cfg, data, tokens, mesh=mesh, num_steps=args.steps,
-          checkpoint_path=ckpt_path)
+          output_dir=args.output)
     from ..weights.io import save_pytree
 
     save_pytree(os.path.join(args.output, "model_final.npz"), jax.device_get(state.params))

@@ -81,12 +81,18 @@ def train(
     mesh=None,
     num_steps: int | None = None,
     log_every: int = 20,
-    checkpoint_path: str | None = None,
+    output_dir: str | None = None,
     checkpoint_every: int = 5000,
+    eval_fn=None,
+    eval_every: int = 5000,
 ):
-    """Minimal driver loop: step, log, periodically checkpoint params."""
-    from ..weights.io import save_pytree
+    """Driver loop: step, log scalars to metrics.json, periodic full-state
+    checkpoints (resume-capable), optional periodic eval (TEST.EVAL_PERIOD
+    semantics — eval_fn(params) -> dict of scalars)."""
+    from ..utils.events import EventWriter
+    from .checkpoint import save_train_state
 
+    writer = EventWriter(output_dir)
     step_fn = make_train_step(cfg, tx, text_tokens, mesh=mesh)
     params, opt_state = state.params, state.opt_state
     n = num_steps if num_steps is not None else cfg.max_iter - state.step
@@ -97,12 +103,15 @@ def train(
         params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(images), jnp.asarray(targets))
         state.step += 1
         if log_every and (i + 1) % log_every == 0:
-            jax.block_until_ready(loss)
-            rate = (i + 1) / (time.time() - t0)
-            print(f"step {state.step}: loss {float(loss):.4f}  {rate:.2f} it/s")
-        if checkpoint_path and state.step % checkpoint_every == 0:
-            save_pytree(checkpoint_path, jax.device_get(params))
+            lv = float(loss)  # scalar fetch = the only true sync point
+            writer.write(state.step, loss_sem_seg=lv, it_per_sec=(i + 1) / (time.time() - t0))
+        if output_dir and state.step % checkpoint_every == 0:
+            save_train_state(output_dir, params, opt_state, state.step)
+        if eval_fn is not None and state.step % eval_every == 0:
+            metrics = eval_fn(params)
+            writer.write(state.step, **{f"eval/{k}": v for k, v in metrics.items()})
     state.params, state.opt_state = params, opt_state
     if loss is not None:
-        jax.block_until_ready(loss)
+        _ = float(loss)
+    writer.close()
     return state

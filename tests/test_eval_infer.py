@@ -164,3 +164,71 @@ def test_text_embed_pipeline():
     assert ens.shape == (2, 1, 32)
     # first class has one synonym: forward path and ensemble agree
     np.testing.assert_allclose(fw[0], ens[0], atol=1e-5)
+
+
+def test_whole_image_probs_matches_reference_composition():
+    """Non-sliding branch == normalize -> zero-pad to 384-divisible ->
+    resize to clip_res -> forward -> sigmoid (cat_seg_model.py:147-155)."""
+    from catseg_tpu.infer.pipeline import whole_image_probs_from_canvas
+    from catseg_tpu.configs import CLIP_PIXEL_MEAN, CLIP_PIXEL_STD
+
+    cfg = mini_cfg(crop_size=64)  # SIZE_DIVISIBILITY 64 for the mini model
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(7)
+    h, w = 100, 150
+    img = rng.randint(0, 255, (h, w, 3)).astype(np.float32)
+    text = rng.randn(5, 1, 48).astype(np.float32)
+
+    canvas = np.zeros((128, 192, 3), np.float32)
+    canvas[:h, :w] = img
+    got = whole_image_probs_from_canvas(
+        params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32), jnp.asarray(text), cfg
+    )
+    assert got.shape == (cfg.feature_resolution[0] * 4, cfg.feature_resolution[1] * 4, 5)
+
+    # reference composition: normalized pad to ceil-div (128, 192) then resize
+    mean = np.asarray(CLIP_PIXEL_MEAN, np.float32)
+    std = np.asarray(CLIP_PIXEL_STD, np.float32)
+    norm = np.zeros((128, 192, 3), np.float32)
+    norm[:h, :w] = (img - mean) / std
+    t_in = F.interpolate(torch.from_numpy(norm).permute(2, 0, 1)[None],
+                         size=(cfg.clip_resolution, cfg.clip_resolution),
+                         mode="bilinear", align_corners=False)[0].permute(1, 2, 0).numpy()
+    from catseg_tpu.core.catseg import clip_guidance_features
+    from catseg_tpu.core.aggregator import aggregator_forward
+
+    feats, guid = clip_guidance_features(params, jnp.asarray(t_in)[None], cfg)
+    logits = aggregator_forward(params["agg"], feats, jnp.asarray(text)[None], guid, cfg)[0]
+    want = np.asarray(jax.nn.sigmoid(logits.astype(jnp.float32))).transpose(1, 2, 0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_train_checkpoint_resume_roundtrip(tmp_path):
+    from catseg_tpu.train import init_train_state
+    from catseg_tpu.train.checkpoint import save_train_state, load_train_state, latest_checkpoint
+
+    cfg = mini_cfg()
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    path = save_train_state(str(tmp_path), state.params, state.opt_state, 42)
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    state2, _ = init_train_state(jax.random.PRNGKey(1), cfg)
+    params, opt_state, step = load_train_state(path, state2.params, state2.opt_state)
+    assert step == 42
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_event_writer(tmp_path):
+    from catseg_tpu.utils.events import EventWriter
+    import json as _json
+
+    w = EventWriter(str(tmp_path))
+    w.write(1, loss_sem_seg=0.5, lr=1e-4)
+    w.write(2, loss_sem_seg=0.4)
+    w.close()
+    lines = open(tmp_path / "metrics.json").read().strip().split("\n")
+    assert len(lines) == 2
+    rec = _json.loads(lines[0])
+    assert rec["iteration"] == 1 and rec["loss_sem_seg"] == 0.5
+    assert (tmp_path / "log.txt").exists()
