@@ -233,16 +233,17 @@ def _class_attention_inner(
         kg = _linear(g, cp["k_w"][C:])
         q = (q.reshape(-1, n_pos, T, C) + qg[:, None]).reshape(N, T, C)
         k = (k.reshape(-1, n_pos, T, C) + kg[:, None]).reshape(N, T, C)
-    q = q.reshape(N, T, heads, -1)
-    k = k.reshape(N, T, heads, -1)
-    v = _linear(x, cp["v_w"], cp["v_b"]).reshape(N, T, heads, -1)
+    v = _linear(x, cp["v_w"], cp["v_b"])
     if cfg.attention_type == "linear":
-        out = _linear_attention(q, k, v)
-    elif cfg.attention_type == "full":
-        out = _full_attention(q, k, v)
-    else:
-        raise NotImplementedError(cfg.attention_type)
-    return out.reshape(N, T, -1)
+        from ..kernels.linear_attn import fused_linear_attention
+
+        return fused_linear_attention(q, k, v, heads)
+    if cfg.attention_type == "full":
+        out = _full_attention(
+            q.reshape(N, T, heads, -1), k.reshape(N, T, heads, -1), v.reshape(N, T, heads, -1)
+        )
+        return out.reshape(N, T, -1)
+    raise NotImplementedError(cfg.attention_type)
 
 
 def class_aggregation(

@@ -11,13 +11,9 @@ import jax.numpy as jnp
 
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) / jnp.sqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return y.astype(dtype)
+    from ..kernels.layer_norm import fused_layer_norm
+
+    return fused_layer_norm(x, scale, bias, eps)
 
 
 def group_norm(
