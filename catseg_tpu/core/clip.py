@@ -187,6 +187,49 @@ def encode_image(
     return x, tapped
 
 
+def encode_image_attn_maps(
+    params: dict,
+    images: jnp.ndarray,
+    variant: CLIPVariant,
+    attn_layers: tuple[int, ...],
+    compute_dtype=jnp.float32,
+) -> list[jnp.ndarray]:
+    """Attention probability maps of selected visual blocks.
+
+    The functional equivalent of viz_atten.py's forward hooks on the
+    attention softmax: returns, for each requested layer, the (B, heads,
+    1+G², 1+G²) attention matrix.  Layers run unrolled (this is a debug path).
+    """
+    p = params["visual"]
+    B, H, _, _ = images.shape
+    grid = H // variant.patch
+    x = patchify(images.astype(compute_dtype), p["conv1_w"], variant.patch)
+    cls_tok = jnp.broadcast_to(p["class_embedding"].astype(compute_dtype), (B, 1, variant.width))
+    x = jnp.concatenate([cls_tok, x], axis=1)
+    x = x + resized_pos_embed(p["positional_embedding"], variant.pretrain_grid, grid).astype(compute_dtype)
+    x = layer_norm(x, p["ln_pre"]["g"], p["ln_pre"]["b"])
+
+    maps = {}
+    heads = variant.heads
+    for i in range(variant.layers - 1):
+        bp = _layer(p["blocks"], i)
+        y = layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"])
+        T = y.shape[1]
+        D = variant.width // heads
+        q = _linear(y, bp["q_w"], bp["q_b"]).reshape(B, T, heads, D)
+        k = _linear(y, bp["k_w"], bp["k_b"]).reshape(B, T, heads, D)
+        v = _linear(y, bp["v_w"], bp["v_b"]).reshape(B, T, heads, D)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) / np.sqrt(D)
+        attn = jax.nn.softmax(logits, axis=-1)
+        if i in attn_layers:
+            maps[i] = attn
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(x.dtype), v, preferred_element_type=jnp.float32)
+        out = _linear(out.astype(x.dtype).reshape(B, T, variant.width), bp["out_w"], bp["out_b"])
+        x = x + out
+        x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+    return [maps[i] for i in sorted(set(attn_layers)) if i in maps]
+
+
 @functools.lru_cache(maxsize=4)
 def _causal_mask(T: int) -> np.ndarray:
     # cached as numpy (a trace-time constant); caching a jnp array here would

@@ -1,0 +1,90 @@
+"""Mesh-sharded benchmark evaluation.
+
+The reference shards eval images across DDP ranks and all_gathers confusion
+matrices (plain_train_net.py:136-146).  Single-controller equivalent: images
+are batched along the mesh "data" axis, the whole
+(resize -> sliding-window -> resize-argmax -> confusion-update) pipeline is
+one jitted SPMD program, and the per-image confusion matrices are summed by
+XLA's partitioner into a replicated accumulator — the collective all_gather
+becomes an implicit psum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import CATSegConfig
+from ..infer.pipeline import resize_argmax_dynamic, sliding_window_probs_from_canvas
+from ..parallel.mesh import batch_sharding, replicate
+
+
+def make_sharded_eval_step(cfg: CATSegConfig, mesh, text_feats, out_canvas, num_classes,
+                           ignore, clamp_background=False):
+    """Returns step(params, canvases (B,...), hws (B,2), out_hws (B,2), gts)
+    -> replicated (K+1, K+1) int32 cm summed over the batch."""
+
+    def one(params, canvas, hw, out_hw, gt):
+        probs = sliding_window_probs_from_canvas(params, canvas, hw, text_feats, cfg)
+        pred = resize_argmax_dynamic(probs, out_hw, out_canvas)
+        K = num_classes
+        if clamp_background:
+            pred = jnp.minimum(pred, 20)
+        g = jnp.where(gt == ignore, K, jnp.clip(gt, 0, K - 1))
+        idx = (pred * (K + 1) + g).reshape(-1)
+        return jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1).reshape(K + 1, K + 1)
+
+    def step(params, canvases, hws, out_hws, gts):
+        cms = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))(params, canvases, hws, out_hws, gts)
+        return jnp.sum(cms, axis=0)
+
+    bs = batch_sharding(mesh)
+    rep = replicate(mesh)
+    return jax.jit(step, in_shardings=(rep, bs, bs, bs, bs), out_shardings=rep)
+
+
+def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
+                     input_canvas, out_canvas, num_classes, ignore,
+                     clamp_background=False):
+    """items: iterable of (image (h,w,3) uint8, gt (H,W) int32).  Returns the
+    accumulated confusion matrix (numpy int64)."""
+    n_data = mesh.shape["data"]
+    step = make_sharded_eval_step(cfg, mesh, jnp.asarray(text_feats), out_canvas,
+                                  num_classes, ignore, clamp_background)
+    Hc, Wc = input_canvas
+    Ho, Wo = out_canvas
+    cm = jnp.zeros((num_classes + 1, num_classes + 1), jnp.int32)
+
+    batch_canvases = np.zeros((n_data, Hc, Wc, 3), np.uint8)
+    batch_hws = np.zeros((n_data, 2), np.int32)
+    batch_out = np.zeros((n_data, 2), np.int32)
+    batch_gts = np.full((n_data, Ho, Wo), ignore, np.int32)
+    fill = 0
+
+    def flush():
+        nonlocal fill, cm
+        if fill == 0:
+            return
+        # unused slots keep gt==ignore everywhere -> contribute only to the
+        # excluded (pred, K) column
+        cm = cm + step(params, jnp.asarray(batch_canvases), jnp.asarray(batch_hws),
+                       jnp.asarray(batch_out), jnp.asarray(batch_gts))
+        batch_canvases[:] = 0
+        batch_gts[:] = ignore
+        fill = 0
+
+    for img, gt in items:
+        h, w = img.shape[:2]
+        H, W = gt.shape
+        batch_canvases[fill, :h, :w] = img[..., :3]
+        batch_hws[fill] = (h, w)
+        batch_out[fill] = (H, W)
+        batch_gts[fill, :H, :W] = gt
+        fill += 1
+        if fill == n_data:
+            flush()
+    flush()
+    return np.asarray(cm, dtype=np.int64)
