@@ -177,6 +177,57 @@ def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, c
     )
 
 
+def sam_mask_refine(
+    sam_params: dict,
+    pe: dict,
+    dec: dict,
+    coarse_logits: jnp.ndarray,
+    sam_feat: jnp.ndarray,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Ver14-style refinement (implicit_fusion_Ver14.py:298-381): per-class
+    coarse logit maps become SAM mask prompts and the mask decoder re-predicts
+    each class's mask against the SAM image embedding.
+
+    coarse_logits: (B, T, h, w); sam_feat: (B, gh, gw, 256) (encoder neck
+    output).  Returns (B, T, 4*gh, 4*gw) refined mask logits.  Classes are
+    scanned in chunks to bound memory.
+    """
+    from ..ops import resize_bilinear
+    from .sam_decoder import dense_pe, embed_masks, mask_decoder
+
+    B, T = coarse_logits.shape[:2]
+    gh, gw = sam_feat.shape[1:3]
+    prompts = resize_bilinear(
+        coarse_logits.reshape(B * T, *coarse_logits.shape[2:])[..., None], (4 * gh, 4 * gw)
+    )  # (B*T, 4gh, 4gw, 1), B-major
+    feats = jnp.repeat(sam_feat, T, axis=0)  # aligned with the B-major flatten
+    pe_grid = dense_pe(pe["gauss"], (gh, gw))
+
+    N = B * T
+    Np = -(-N // chunk) * chunk
+    if Np != N:
+        prompts = jnp.concatenate(
+            [prompts, jnp.zeros((Np - N,) + prompts.shape[1:], prompts.dtype)], axis=0)
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((Np - N,) + feats.shape[1:], feats.dtype)], axis=0)
+
+    def body(_, inp):
+        pr, ft = inp
+        dense = embed_masks(pe, pr)
+        sparse = jnp.zeros((pr.shape[0], 0, dense.shape[-1]), dense.dtype)
+        masks, _ = mask_decoder(dec, ft, pe_grid, sparse, dense)
+        return None, masks[:, 0]
+
+    _, refined = jax.lax.scan(
+        body, None,
+        (prompts.reshape(Np // chunk, chunk, *prompts.shape[1:]),
+         feats.reshape(Np // chunk, chunk, *feats.shape[1:])),
+    )
+    refined = refined.reshape(Np, *refined.shape[2:])[:N]
+    return refined.reshape(B, T, *refined.shape[1:])
+
+
 def init_fusion_params(rng, cfg: CATSegConfig) -> dict:
     """Random-init fusion model parameters (Ver31 layout)."""
     from .aggregator import _init_conv, init_aggregator_params

@@ -409,3 +409,81 @@ def sam_encoder(sd, images_nchw, patch, layers, heads, window, global_blocks):
     mu = n.mean(1, keepdim=True); var = ((n - mu) ** 2).mean(1, keepdim=True)
     n = (n - mu) / (var + 1e-6).sqrt() * sd["neck.3.weight"][:, None, None] + sd["neck.3.bias"][:, None, None]
     return n.permute(0, 2, 3, 1), outs
+
+
+# ------------------------------------------------- SAM prompt/mask decoder
+
+
+def _sam_dec_attn(sd, p, q, k, v, heads):
+    qp = _l(sd, p + ".q_proj", q)
+    kp = _l(sd, p + ".k_proj", k)
+    vp = _l(sd, p + ".v_proj", v)
+    B, Nq, Ci = qp.shape
+    D = Ci // heads
+    qp = qp.view(B, Nq, heads, D).transpose(1, 2) / math.sqrt(D)
+    kp = kp.view(B, -1, heads, D).transpose(1, 2)
+    vp = vp.view(B, -1, heads, D).transpose(1, 2)
+    out = ((qp @ kp.transpose(-2, -1)).softmax(-1) @ vp).transpose(1, 2).reshape(B, Nq, Ci)
+    return _l(sd, p + ".out_proj", out)
+
+
+def sam_mask_decoder(sd, image_emb_bhwc, image_pe_hwc, sparse, dense_bhwc, heads=8,
+                     depth=2, num_mask_tokens=4, multimask=False):
+    m = "mask_decoder."
+    B = sparse.shape[0]
+    out_tokens = torch.cat([sd[m + "iou_token.weight"], sd[m + "mask_tokens.weight"]], dim=0)
+    tokens = torch.cat([out_tokens.unsqueeze(0).expand(B, -1, -1), sparse], dim=1)
+    src = image_emb_bhwc + dense_bhwc
+    Bh, h, w, C = src.shape
+    keys = src.reshape(B, h * w, C)
+    key_pe = image_pe_hwc.reshape(1, h * w, C).expand(B, -1, -1)
+    queries = tokens
+    for i in range(depth):
+        lp = m + f"transformer.layers.{i}"
+        if i == 0:
+            queries = _sam_dec_attn(sd, lp + ".self_attn", queries, queries, queries, heads)
+        else:
+            q = queries + tokens
+            queries = queries + _sam_dec_attn(sd, lp + ".self_attn", q, q, queries, heads)
+        queries = _ln(sd, lp + ".norm1", queries)
+        q = queries + tokens
+        k = keys + key_pe
+        queries = queries + _sam_dec_attn(sd, lp + ".cross_attn_token_to_image", q, k, keys, heads)
+        queries = _ln(sd, lp + ".norm2", queries)
+        mlp = _l(sd, lp + ".mlp.lin2", F.relu(_l(sd, lp + ".mlp.lin1", queries)))
+        queries = _ln(sd, lp + ".norm3", queries + mlp)
+        q = queries + tokens
+        k = keys + key_pe
+        keys = keys + _sam_dec_attn(sd, lp + ".cross_attn_image_to_token", k, q, queries, heads)
+        keys = _ln(sd, lp + ".norm4", keys)
+    q = queries + tokens
+    k = keys + key_pe
+    queries = queries + _sam_dec_attn(sd, m + "transformer.final_attn_token_to_image", q, k, keys, heads)
+    queries = _ln(sd, m + "transformer.norm_final_attn", queries)
+
+    iou_out = queries[:, 0]
+    mask_tokens_out = queries[:, 1 : 1 + num_mask_tokens]
+    up = keys.transpose(1, 2).reshape(B, C, h, w)
+    up = F.conv_transpose2d(up, sd[m + "output_upscaling.0.weight"], sd[m + "output_upscaling.0.bias"], stride=2)
+    mu = up.mean(1, keepdim=True); var = ((up - mu) ** 2).mean(1, keepdim=True)
+    up = (up - mu) / (var + 1e-6).sqrt() * sd[m + "output_upscaling.1.weight"][:, None, None] + \
+         sd[m + "output_upscaling.1.bias"][:, None, None]
+    up = F.gelu(up)
+    up = F.conv_transpose2d(up, sd[m + "output_upscaling.3.weight"], sd[m + "output_upscaling.3.bias"], stride=2)
+    up = F.gelu(up)
+
+    def mlp3(prefix, x):
+        for j in range(3):
+            x = _l(sd, f"{prefix}.layers.{j}", x)
+            if j < 2:
+                x = F.relu(x)
+        return x
+
+    hyper = torch.stack([mlp3(m + f"output_hypernetworks_mlps.{i}", mask_tokens_out[:, i])
+                         for i in range(num_mask_tokens)], dim=1)
+    Bc, Cu, hu, wu = up.shape
+    masks = (hyper @ up.reshape(Bc, Cu, hu * wu)).reshape(B, -1, hu, wu)
+    iou = mlp3(m + "iou_prediction_head", iou_out)
+    if multimask:
+        return masks[:, 1:], iou[:, 1:]
+    return masks[:, :1], iou[:, :1]
