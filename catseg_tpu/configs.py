@@ -38,8 +38,12 @@ class CLIPVariant:
 VITB16 = CLIPVariant("ViT-B/16", 16, 768, 12, 12, 512, 224, 512, 8, 12)
 VITL14_336 = CLIPVariant("ViT-L/14@336px", 14, 1024, 24, 16, 768, 336, 768, 12, 12)
 VITB32 = CLIPVariant("ViT-B/32", 32, 768, 12, 12, 512, 224, 512, 8, 12)  # RemoteCLIP backbone
+# OpenCLIP tiers the reference supports via open_clip (cat_seg_predictor.py:64-76);
+# force_image_size=336 there -> pretrain_res 336
+VITH14 = CLIPVariant("ViT-H-14", 14, 1280, 32, 16, 1024, 336, 1024, 16, 24)
+VITG14 = CLIPVariant("ViT-bigG-14", 14, 1664, 48, 16, 1280, 336, 1280, 20, 32)
 
-CLIP_VARIANTS = {v.name: v for v in (VITB16, VITL14_336, VITB32)}
+CLIP_VARIANTS = {v.name: v for v in (VITB16, VITL14_336, VITB32, VITH14, VITG14)}
 
 # image normalization (reference: cat_seg/config.py CLIP_PIXEL_* and configs PIXEL_*)
 PIXEL_MEAN = (123.675, 116.280, 103.530)

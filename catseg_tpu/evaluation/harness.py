@@ -88,6 +88,7 @@ def evaluate_benchmark(
         if verbose and n % 100 == 0:
             print(f"  [{spec.name}] {n}/{len(pairs)} images, {n / (time.time() - t0):.2f} im/s")
     metrics = acc.metrics()
+    metrics["_conf"] = acc.matrix()  # raw confusion matrix (gzero splits etc.)
     metrics["images_per_sec"] = n / (time.time() - t0)
     metrics["num_images"] = n
     if verbose:

@@ -26,6 +26,9 @@ def main(argv=None):
     ap.add_argument("--data-root", default=None, help="defaults to $DETECTRON2_DATASETS")
     ap.add_argument("--limit", type=int, default=None, help="cap images per benchmark")
     ap.add_argument("--output", default=None, help="write metrics json here")
+    ap.add_argument("--whole-image", action="store_true", help="non-sliding branch")
+    ap.add_argument("--seen-indexes", default=None, help="json list for gzero seen/unseen split")
+    ap.add_argument("--unseen-indexes", default=None)
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
 
@@ -35,10 +38,22 @@ def main(argv=None):
     results = {}
     for bench in args.benchmarks.split(","):
         bench = bench.strip()
-        m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit)
+        m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
+                               sliding=not args.whole_image)
+        if args.seen_indexes and args.unseen_indexes:
+            # gzero: seen/unseen/harmonic IoU split (plain_train_net.py:48-228)
+            from ..evaluation.miou import gzero_metrics
+
+            seen = json.load(open(args.seen_indexes))
+            unseen = json.load(open(args.unseen_indexes))
+            gz = gzero_metrics(m["_conf"], seen, unseen)
+            m.update({k: gz[k] for k in ("mIoU_seen", "mIoU_unseen", "hIoU")})
         results[bench] = {k: v for k, v in m.items() if not hasattr(v, "shape")}
         print(f"copypaste: {bench}: mIoU={m['mIoU']:.4f},fwIoU={m['fwIoU']:.4f},"
               f"mACC={m['mACC']:.4f},pACC={m['pACC']:.4f}")
+        if "hIoU" in m:
+            print(f"copypaste-gzero: {bench}: seen={m['mIoU_seen']:.4f},"
+                  f"unseen={m['mIoU_unseen']:.4f},hIoU={m['hIoU']:.4f}")
     if args.output:
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2)

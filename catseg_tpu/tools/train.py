@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None, help="initial weights (.npz/.pth)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval-dataset", default=None, help="periodic eval (TEST.EVAL_PERIOD)")
+    ap.add_argument("--eval-limit", type=int, default=200)
+    ap.add_argument("--eval-every", type=int, default=5000)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
 
@@ -70,8 +73,17 @@ def main(argv=None):
             )
             print(f"resumed from {last} at step {state.step}")
 
+    eval_fn = None
+    if args.eval_dataset:
+        from ..evaluation.harness import evaluate_benchmark
+
+        def eval_fn(params):
+            m = evaluate_benchmark(params, cfg, args.eval_dataset, root=args.data_root,
+                                   limit=args.eval_limit, verbose=False)
+            return {k: m[k] for k in ("mIoU", "fwIoU", "mACC", "pACC")}
+
     train(state, tx, cfg, data, tokens, mesh=mesh, num_steps=args.steps,
-          output_dir=args.output)
+          output_dir=args.output, eval_fn=eval_fn, eval_every=args.eval_every)
     from ..weights.io import save_pytree
 
     save_pytree(os.path.join(args.output, "model_final.npz"), jax.device_get(state.params))

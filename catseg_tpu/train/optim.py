@@ -55,6 +55,20 @@ def cosine_lr(base_lr: float, max_iter: int, warmup_iters: int = 0, warmup_facto
     return sched
 
 
+def auto_scale_config(cfg: CATSegConfig, num_devices: int, ref_batch: int | None = None) -> CATSegConfig:
+    """detectron2 auto_scale_workers semantics (plain_train_net.py:279): scale
+    batch size with the device count and LR/iters/warmup inversely, keeping
+    total-epoch behavior fixed."""
+    ref_batch = ref_batch or cfg.batch_size
+    new_batch = ref_batch * num_devices
+    scale = new_batch / ref_batch
+    return cfg.replace(
+        batch_size=new_batch,
+        base_lr=cfg.base_lr * scale,
+        max_iter=int(round(cfg.max_iter / scale)),
+    )
+
+
 def build_optimizer(cfg: CATSegConfig, params) -> optax.GradientTransformation:
     labels = finetune_label_tree(params, cfg.clip_finetune)
 
