@@ -294,26 +294,37 @@ def class_aggregation(
 # ------------------------------------------------------------------ decoder
 
 
-def _double_conv(x: jnp.ndarray, dp: dict) -> jnp.ndarray:
-    """(conv3x3 -> GroupNorm(C/16) -> ReLU) x2 (model.py:520-537)."""
+def _double_conv(x: jnp.ndarray, dp: dict, guidances: tuple = ()) -> jnp.ndarray:
+    """(conv3x3 -> GroupNorm(C/16) -> ReLU) x2 (model.py:520-537).
+
+    The reference concatenates per-image guidance channels before the first
+    conv (model.py:549-555).  Since conv(concat(x, g)) == conv_x(x) +
+    conv_g(g) and the guidance is identical across the T classes, the
+    guidance slices of conv1 run once per *image* and broadcast — removing
+    both the (B*T)-sized concat buffer and T-fold redundant guidance FLOPs.
+    ``guidances``: per-image (B, H, W, Cg_i) tensors matching the channel
+    slices of conv1_w after x's channels.
+    """
     mid = dp["conv1_w"].shape[-1]
-    x = conv2d(x, dp["conv1_w"], None, padding=1)
-    x = jax.nn.relu(group_norm(x, mid // 16, dp["gn1"]["g"], dp["gn1"]["b"]))
+    Cx = x.shape[-1]
+    h = conv2d(x, dp["conv1_w"][:, :, :Cx], None, padding=1)
+    ofs = Cx
+    for g in guidances:
+        Cg = g.shape[-1]
+        hg = conv2d(g.astype(x.dtype), dp["conv1_w"][:, :, ofs : ofs + Cg], None, padding=1)
+        T = h.shape[0] // hg.shape[0]
+        h = (h.reshape(hg.shape[0], T, *h.shape[1:]) + hg[:, None]).reshape(h.shape)
+        ofs += Cg
+    x = jax.nn.relu(group_norm(h, mid // 16, dp["gn1"]["g"], dp["gn1"]["b"]))
     x = conv2d(x, dp["conv2_w"], None, padding=1)
     x = jax.nn.relu(group_norm(x, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
     return x
 
 
 def _up(x: jnp.ndarray, guidance: jnp.ndarray | None, dp: dict) -> jnp.ndarray:
-    """ConvT(k2 s2) -> concat projected guidance (broadcast over T) -> DoubleConv
-    (model.py:540-555)."""
+    """ConvT(k2 s2) -> guidance-conditioned DoubleConv (model.py:540-555)."""
     x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
-    if guidance is not None:
-        T = x.shape[0] // guidance.shape[0]
-        g = jnp.broadcast_to(guidance[:, None], (guidance.shape[0], T) + guidance.shape[1:])
-        g = g.reshape(x.shape[0], *guidance.shape[1:])
-        x = jnp.concatenate([x, g.astype(x.dtype)], axis=-1)
-    return _double_conv(x, dp)
+    return _double_conv(x, dp, guidances=(guidance,) if guidance is not None else ())
 
 
 def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:

@@ -53,17 +53,11 @@ def _corr_embed2(corr: jnp.ndarray, conv: dict) -> jnp.ndarray:
 
 
 def _fusion_up(x, clip_g, dino_g, dp):
-    """FusionUP (FusionAggregator.py:757-772): ConvT then concat BOTH guidances."""
+    """FusionUP (FusionAggregator.py:757-772): ConvT then both guidance
+    pyramids fused via the algebraic conv split (see _double_conv)."""
     x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
-    if clip_g is not None:
-        T = x.shape[0] // clip_g.shape[0]
-
-        def rep(g):
-            gg = jnp.broadcast_to(g[:, None], (g.shape[0], T) + g.shape[1:])
-            return gg.reshape(x.shape[0], *g.shape[1:]).astype(x.dtype)
-
-        x = jnp.concatenate([x, rep(clip_g), rep(dino_g)], axis=-1)
-    return _double_conv(x, dp)
+    guid = tuple(g for g in (clip_g, dino_g) if g is not None)
+    return _double_conv(x, dp, guidances=guid)
 
 
 def fusion_aggregator_forward(
