@@ -35,6 +35,9 @@ def evaluate_benchmark(
     limit: int | None = None,
     verbose: bool = True,
     sliding: bool = True,
+    dump_visuals: int = 0,
+    visuals_dir: str = "eval_visuals",
+    dump_predictions: str | None = None,
 ) -> dict:
     """Run one eval.sh benchmark; returns the metrics dict (+ images/sec).
 
@@ -75,6 +78,11 @@ def evaluate_benchmark(
 
     acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
                                clamp_background=spec.evaluator == "sem_seg_background")
+    dumper = None
+    if dump_predictions:
+        from .coco_dump import PredictionDumper
+
+        dumper = PredictionDumper(dump_predictions)
     t0 = time.time()
     n = 0
     for (img, gt) in Prefetcher(pairs, load):
@@ -84,9 +92,26 @@ def evaluate_benchmark(
         gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=np.int32)
         gt_pad[:H, :W] = gt
         acc.update(pred, gt_pad)
+        if n < dump_visuals or dumper is not None:
+            # pred/GT overlay dumps (viz.py TestAndViz, OVRSSS_Visualizer.save_visual)
+            pred_np = np.asarray(pred)[:H, :W]
+            if n < dump_visuals:
+                import os
+
+                from ..infer.visualize import save_visual
+                from PIL import Image as _I
+
+                os.makedirs(visuals_dir, exist_ok=True)
+                img_full = np.asarray(_I.fromarray(img).resize((W, H)))
+                save_visual(img_full, pred_np, gt, os.path.join(visuals_dir, f"{spec.name}_{n:04d}.jpg"),
+                            spec.num_classes, spec.ignore_label)
+            if dumper is not None:
+                dumper.add(pred_np, pairs[n][0])
         n += 1
         if verbose and n % 100 == 0:
             print(f"  [{spec.name}] {n}/{len(pairs)} images, {n / (time.time() - t0):.2f} im/s")
+    if dumper is not None:
+        dumper.write()
     metrics = acc.metrics()
     metrics["_conf"] = acc.matrix()  # raw confusion matrix (gzero splits etc.)
     metrics["images_per_sec"] = n / (time.time() - t0)

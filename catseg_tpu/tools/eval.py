@@ -27,6 +27,8 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=None, help="cap images per benchmark")
     ap.add_argument("--output", default=None, help="write metrics json here")
     ap.add_argument("--whole-image", action="store_true", help="non-sliding branch")
+    ap.add_argument("--dump-visuals", type=int, default=0, help="save N pred/GT overlays")
+    ap.add_argument("--dump-predictions", default=None, help="COCO-RLE predictions json")
     ap.add_argument("--seen-indexes", default=None, help="json list for gzero seen/unseen split")
     ap.add_argument("--unseen-indexes", default=None)
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
@@ -39,7 +41,8 @@ def main(argv=None):
     for bench in args.benchmarks.split(","):
         bench = bench.strip()
         m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
-                               sliding=not args.whole_image)
+                               sliding=not args.whole_image, dump_visuals=args.dump_visuals,
+                               dump_predictions=args.dump_predictions)
         if args.seen_indexes and args.unseen_indexes:
             # gzero: seen/unseen/harmonic IoU split (plain_train_net.py:48-228)
             from ..evaluation.miou import gzero_metrics
