@@ -224,7 +224,7 @@ def sam_mask_refine(
 
 def init_fusion_params(rng, cfg: CATSegConfig) -> dict:
     """Random-init fusion model parameters (Ver31 layout)."""
-    from .aggregator import _init_conv, init_aggregator_params
+    from .aggregator import _init_conv
     from .catseg import init_catseg_params
 
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)

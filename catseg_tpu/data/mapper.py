@@ -60,8 +60,6 @@ def color_aug_ssd(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         img *= rng.uniform(0.5, 1.5)
     # saturation / hue in HSV
     if rng.integers(2) or rng.integers(2):
-        import colorsys  # noqa: F401  (documentation only; vectorized below)
-
         hsv = _rgb_to_hsv(np.clip(img, 0, 255))
         if rng.integers(2):
             hsv[..., 1] *= rng.uniform(0.5, 1.5)

@@ -11,7 +11,6 @@ becomes an implicit psum.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
