@@ -134,9 +134,11 @@ def _swin_block(
     xw = _shift_part(x.reshape(B * T, H, W, C), B * T)  # (BT, nW, N, C)
     nW, N = xw.shape[1], xw.shape[2]
 
-    q = _linear(xw, bp["q_w"][:C], bp["q_b"])
-    k = _linear(xw, bp["k_w"][:C], bp["k_b"])
-    v = _linear(xw, bp["v_w"], bp["v_b"])
+    # q/k/v all read the same windowed tokens -> one fused gemm
+    qkv_w = jnp.concatenate([bp["q_w"][:C], bp["k_w"][:C], bp["v_w"]], axis=1)
+    qkv_b = jnp.concatenate([bp["q_b"], bp["k_b"], bp["v_b"]])
+    qkv = _linear(xw, qkv_w, qkv_b)
+    q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
     if guidance is not None:
         gw = _shift_part(guidance, B)  # (B, nW, N, Cg)
         qg = _linear(gw, bp["q_w"][C:])  # bias already added via x-part
@@ -162,8 +164,9 @@ def _swin_block(
         out = jnp.roll(out, (shift, shift), axis=(1, 2))
     x = shortcut + out.reshape(B, T, H, W, C)
     y = layer_norm(x, bp["norm2"]["g"], bp["norm2"]["b"])
-    y = _linear(jax.nn.gelu(_linear(y, bp["fc1_w"], bp["fc1_b"]), approximate=False), bp["fc2_w"], bp["fc2_b"])
-    return x + y
+    from ..kernels.mlp import fused_mlp
+
+    return x + fused_mlp(y, bp["fc1_w"], bp["fc1_b"], bp["fc2_w"], bp["fc2_b"], "gelu")
 
 
 def spatial_aggregation(
@@ -283,7 +286,9 @@ def class_aggregation(
     normed = layer_norm(seq, cp["norm1"]["g"], cp["norm1"]["b"])
     seq = seq + _class_attention_inner(normed, text_guidance, cp, cfg, n_pos=Hp * Wp)
     normed = layer_norm(seq, cp["norm2"]["g"], cp["norm2"]["b"])
-    seq = seq + _linear(jax.nn.relu(_linear(normed, cp["mlp1_w"], cp["mlp1_b"])), cp["mlp2_w"], cp["mlp2_b"])
+    from ..kernels.mlp import fused_mlp
+
+    seq = seq + fused_mlp(normed, cp["mlp1_w"], cp["mlp1_b"], cp["mlp2_w"], cp["mlp2_b"], "relu")
 
     out = seq.reshape(B, Hp, Wp, Tp, C).transpose(0, 3, 1, 2, 4)[:, :T]  # drop padding
     out = out.reshape(B * T, Hp, Wp, C)

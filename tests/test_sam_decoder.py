@@ -168,3 +168,37 @@ def test_sam_mask_refine_shapes():
     # chunk size must not change results (padding correctness)
     refined2 = sam_mask_refine(None, pe, dec, coarse, sam_feat, chunk=10)
     np.testing.assert_allclose(np.asarray(refined), np.asarray(refined2), atol=1e-5)
+
+
+def test_sam_predictor_end_to_end():
+    from catseg_tpu.core import sam as jsam
+    from catseg_tpu.infer.sam_predictor import SamPredictor, resize_longest_side
+
+    # get_preprocess_shape semantics (utils/transforms.py:97-104)
+    assert resize_longest_side(480, 640, 1024) == (768, 1024)
+    assert resize_longest_side(33, 17, 32) == (32, 16)
+
+    var = jsam.SAMVariant(img_size=32, patch=8, width=32, layers=2, heads=4,
+                          out_chans=DIM, window=2, global_blocks=(1,))
+    params = jsam.init_sam_params(jax.random.PRNGKey(0), var)
+    pe, dec = jd.init_sam_prompt_decoder(jax.random.PRNGKey(1), dim=DIM, depth=2,
+                                         mlp_dim=MLP, num_mask_tokens=NUM_MASK)
+    pred = SamPredictor(params, pe, dec, var)
+    img = np.random.RandomState(0).randint(0, 255, (40, 30, 3), np.uint8)
+    pred.set_image(img)
+    assert pred.input_size == (32, 24)
+    assert pred.get_image_embedding().shape == (1, 4, 4, DIM)
+
+    masks, iou, low = pred.predict(point_coords=np.array([[15.0, 20.0]]),
+                                   point_labels=np.array([1]))
+    assert masks.shape == (NUM_MASK - 1, 40, 30) and masks.dtype == bool
+    assert iou.shape == (NUM_MASK - 1,)
+    assert low.shape == (NUM_MASK - 1, 16, 16)
+
+    m2, i2, low2 = pred.predict(box=np.array([2.0, 2.0, 28.0, 38.0]),
+                                mask_input=low[:1], multimask_output=False,
+                                return_logits=True)
+    assert m2.shape == (1, 40, 30) and m2.dtype == np.float32
+    assert i2.shape == (1,)
+    # prompts must change the output
+    assert not np.allclose(low2[0], low[0])
