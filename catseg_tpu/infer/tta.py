@@ -18,6 +18,7 @@ from .pipeline import Predictor
 class TTAPredictor:
     def __init__(self, predictor: Predictor):
         self.predictor = predictor
+        self.cfg = predictor.cfg
 
     def probs_sliding(self, image: np.ndarray) -> jnp.ndarray:
         p = self.predictor.probs_sliding(image)

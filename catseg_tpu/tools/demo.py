@@ -5,7 +5,9 @@
         (--class-json datasets/ade150.json | --classes "cat,dog,sky")
 
 Open-vocabulary segmentation of arbitrary images against an arbitrary class
-list, with color-overlay outputs.
+list, with color-overlay outputs.  `--video-input f.mp4` / `--webcam N`
+mirror demo/demo.py:31-47,129-194: every frame is segmented and written to
+an output video (or displayed when no --output is given).
 """
 
 from __future__ import annotations
@@ -27,8 +29,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--input", nargs="+", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", nargs="+")
+    src.add_argument("--video-input", default=None, help="video file to segment frame-by-frame")
+    src.add_argument("--webcam", nargs="?", const=0, type=int, default=None,
+                     help="camera index to stream from")
     ap.add_argument("--output", default="demo_out")
+    ap.add_argument("--frame-stride", type=int, default=1,
+                    help="segment every Nth video frame (intermediate frames reuse the last mask)")
     ap.add_argument("--classes", default=None, help="comma-separated class names")
     ap.add_argument("--class-json", default=None)
     ap.add_argument("--tta", action="store_true")
@@ -49,6 +57,11 @@ def main(argv=None):
     if args.tta:
         predictor = TTAPredictor(predictor)
     palette = build_palette(len(class_names))
+
+    if args.video_input is not None or args.webcam is not None:
+        _run_video(args, predictor, palette, class_names)
+        return
+
     os.makedirs(args.output, exist_ok=True)
 
     from PIL import Image
@@ -63,6 +76,52 @@ def main(argv=None):
         Image.fromarray(vis).save(out_path)
         top = np.bincount(pred.reshape(-1), minlength=len(class_names)).argsort()[::-1][:5]
         print(f"{path} -> {out_path}; top classes: {[class_names[i] for i in top]}")
+
+
+def _run_video(args, predictor, palette, class_names):
+    """Frame loop for --video-input / --webcam (demo/demo.py:129-194)."""
+    import cv2
+
+    cap = cv2.VideoCapture(args.video_input if args.video_input is not None else args.webcam)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video source "
+                         f"{args.video_input if args.video_input is not None else args.webcam}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    writer = None
+    if args.output and args.video_input is not None:
+        out_path = args.output
+        if os.path.isdir(out_path) or not os.path.splitext(out_path)[1]:
+            os.makedirs(out_path, exist_ok=True)
+            out_path = os.path.join(out_path, os.path.basename(args.video_input))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    n = 0
+    pred = None
+    try:
+        while True:
+            ok, frame_bgr = cap.read()
+            if not ok:
+                break
+            if pred is None or n % args.frame_stride == 0:
+                img = frame_bgr[:, :, ::-1]  # model consumes RGB
+                resized = resize_shortest_edge(img, predictor.cfg.min_size_test,
+                                               predictor.cfg.max_size_test)
+                result = predictor.predict(resized, out_hw=img.shape[:2])
+                pred = result["sem_seg"].argmax(axis=0)
+            vis = overlay(frame_bgr[:, :, ::-1], pred, palette, alpha=args.alpha)
+            if writer is not None:
+                writer.write(vis[:, :, ::-1])
+            else:
+                cv2.imshow("catseg_tpu demo", vis[:, :, ::-1])
+                if cv2.waitKey(1) == 27:  # ESC
+                    break
+            n += 1
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+            print(f"{n} frames -> {out_path}")
 
 
 if __name__ == "__main__":
