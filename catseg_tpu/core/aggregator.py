@@ -180,6 +180,36 @@ def spatial_aggregation(
     guid = None
     if appearance_guidance is not None:
         guid = layer_norm(appearance_guidance, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
+
+    B, T, H, W, C = x.shape
+    win = cfg.window_size
+    if C % 128 == 0 and H % win == 0 and W % win == 0 and C % cfg.num_heads == 0:
+        # whole-pair fused kernel: one VMEM-resident (H, W, C) slab per
+        # (image, class), both blocks end to end — see kernels/swin_block.py
+        from ..kernels.swin_block import fused_swin_pair
+
+        def pack(bp):
+            return {
+                "ln1_g": bp["norm1"]["g"], "ln1_b": bp["norm1"]["b"],
+                "qkv_w": jnp.concatenate([bp["q_w"][:C], bp["k_w"][:C], bp["v_w"]], axis=1),
+                "qkv_b": jnp.concatenate([bp["q_b"], bp["k_b"], bp["v_b"]]),
+                "proj_w": bp["proj_w"], "proj_b": bp["proj_b"],
+                "ln2_g": bp["norm2"]["g"], "ln2_b": bp["norm2"]["b"],
+                "fc1_w": bp["fc1_w"], "fc1_b": bp["fc1_b"],
+                "fc2_w": bp["fc2_w"], "fc2_b": bp["fc2_b"],
+            }
+
+        guid4 = None
+        if guid is not None:
+            b1, b2 = layer["swin1"], layer["swin2"]
+            guid4 = (
+                _linear(guid, b1["q_w"][C:]), _linear(guid, b1["k_w"][C:]),
+                _linear(guid, b2["q_w"][C:]), _linear(guid, b2["k_w"][C:]),
+            )
+        mask = jnp.asarray(_shift_mask(H, W, win, win // 2))
+        return fused_swin_pair(x, guid4, pack(layer["swin1"]), pack(layer["swin2"]),
+                               mask, cfg.num_heads, win)
+
     x = _swin_block(x, guid, layer["swin1"], cfg, shift=0)
     x = _swin_block(x, guid, layer["swin2"], cfg, shift=cfg.window_size // 2)
     return x

@@ -56,3 +56,75 @@ def test_fused_mlp_grad_matches_reference():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def _swin_layer_params(rng, C=128, Cg=32):
+    import jax
+    from catseg_tpu.core.aggregator import _init_swin_block
+
+    k1, k2 = jax.random.split(rng)
+    return {
+        "swin1": _init_swin_block(k1, C, Cg),
+        "swin2": _init_swin_block(k2, C, Cg),
+        "guidance_norm": {"g": jnp.ones(Cg) * 1.1, "b": jnp.zeros(Cg) + 0.05},
+    }
+
+
+def test_fused_swin_pair_matches_blockwise_path():
+    import jax
+    from catseg_tpu.configs import CATSegConfig
+    from catseg_tpu.core import aggregator as A
+
+    B, T, H, W, C, Cg = 1, 2, 24, 24, 128, 32
+    cfg = CATSegConfig(hidden_dim=C, num_heads=4, window_size=12,
+                       feature_resolution=(H, W), appearance_guidance_proj_dim=Cg,
+                       compute_dtype="float32")
+    layer = _swin_layer_params(jax.random.PRNGKey(0), C, Cg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.randn(B, H, W, Cg).astype(np.float32) * 0.2)
+
+    got = A.spatial_aggregation(x, g, layer, cfg)  # fused kernel (interpret on CPU)
+
+    guid = A.layer_norm(g, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
+    want = A._swin_block(x, guid, layer["swin1"], cfg, shift=0)
+    want = A._swin_block(want, guid, layer["swin2"], cfg, shift=6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_fused_swin_pair_no_guidance_and_grad():
+    import jax
+    from catseg_tpu.kernels.swin_block import fused_swin_pair, _reference_pair
+
+    B, T, H, W, C = 1, 2, 24, 24, 128
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "ln1_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln1_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "qkv_w": jnp.asarray(r.randn(C, 3 * C).astype(np.float32) * 0.05),
+            "qkv_b": jnp.asarray(0.1 * r.randn(3 * C).astype(np.float32)),
+            "proj_w": jnp.asarray(r.randn(C, C).astype(np.float32) * 0.05),
+            "proj_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "ln2_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "fc1_w": jnp.asarray(r.randn(C, 4 * C).astype(np.float32) * 0.05),
+            "fc1_b": jnp.asarray(0.1 * r.randn(4 * C).astype(np.float32)),
+            "fc2_w": jnp.asarray(r.randn(4 * C, C).astype(np.float32) * 0.05),
+            "fc2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+        }
+
+    p1, p2 = mk(2), mk(3)
+    from catseg_tpu.core.aggregator import _shift_mask
+    mask = jnp.asarray(_shift_mask(H, W, 12, 6))
+
+    got = fused_swin_pair(x, None, p1, p2, mask, 4, 12)
+    want = _reference_pair(x, None, p1, p2, mask, 4, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-4)
+
+    g_fused = jax.grad(lambda x: jnp.sum(fused_swin_pair(x, None, p1, p2, mask, 4, 12) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(_reference_pair(x, None, p1, p2, mask, 4, 12) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=5e-4, rtol=5e-4)
