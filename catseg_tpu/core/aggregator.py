@@ -295,6 +295,43 @@ def class_aggregation(
     cp = layer["class"]
     B, T, H, W, C = x.shape
     ph, pw = cfg.pooling_size
+
+    if ((ph, pw) == (1, 1) and cfg.attention_type == "linear" and C % 128 == 0
+            and C % cfg.num_heads == 0):
+        # eval path: pooling is the identity -> whole layer in one fused
+        # kernel on position-major data; the learnable pad rows enter as
+        # precomputed constant KV/Ksum terms (see kernels/class_layer.py)
+        from ..kernels.class_layer import fused_class_layer, pad_contributions
+
+        Tp = max(cfg.pad_len, T) if cfg.pad_len > 0 else T
+        p = {
+            "ln1_g": cp["norm1"]["g"], "ln1_b": cp["norm1"]["b"],
+            "q_w": cp["q_w"], "q_b": cp["q_b"],
+            "k_w": cp["k_w"], "k_b": cp["k_b"],
+            "v_w": cp["v_w"], "v_b": cp["v_b"],
+            "ln2_g": cp["norm2"]["g"], "ln2_b": cp["norm2"]["b"],
+            "mlp1_w": cp["mlp1_w"], "mlp1_b": cp["mlp1_b"],
+            "mlp2_w": cp["mlp2_w"], "mlp2_b": cp["mlp2_b"],
+        }
+        qg = kg = None
+        if text_guidance is not None:
+            tg = text_guidance.astype(x.dtype)
+            qg = _linear(tg, cp["q_w"][C:])
+            kg = _linear(tg, cp["k_w"][C:])
+        if Tp > T:
+            pad_guid = cp.get("padding_guidance") if text_guidance is not None else None
+            if pad_guid is not None:
+                pad_guid = pad_guid.reshape(-1)
+            pad_kv, pad_ksum = pad_contributions(
+                cp["padding_tokens"].reshape(-1), pad_guid, p, Tp - T, Tp, cfg.num_heads)
+        else:
+            pad_kv = jnp.zeros((C, C), jnp.float32)
+            pad_ksum = jnp.zeros((1, C), jnp.float32)
+        x_pm = x.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
+        out = fused_class_layer(x_pm, qg, kg, pad_kv, pad_ksum, p, cfg.num_heads, Tp)
+        out = out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
+        return x + out
+
     xp = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))
     Hp, Wp = xp.shape[1], xp.shape[2]
     xp = xp.reshape(B, T, Hp, Wp, C)

@@ -1,0 +1,249 @@
+"""Fully fused class-attention transformer layer (Pallas TPU kernel).
+
+The class stage (reference ClassTransformerLayer, model.py:357-424) at eval
+pooling (1,1) runs LN -> qkv -> linear attention over the class axis -> MLP
+for every spatial position.  The plain-XLA pipeline materializes the
+pad_len-padded (B*H*W, Tp, C) sequence plus every intermediate in HBM;
+this kernel processes G positions per grid step entirely in VMEM.
+
+Two tricks make it TPU-shaped:
+
+- The learnable padding token (model.py:372-373,397-410) contributes
+  IDENTICAL rows to every position's key/value set.  Linear attention only
+  sees keys through the sums KV = sum_s K_s^T V_s and Ksum = sum_s K_s, so
+  the (pad_len - T) pad rows collapse to constant terms (pad_kv, pad_ksum)
+  precomputed once outside the kernel — pad rows are never materialized.
+
+- Mosaic cannot split the 128-lane channel dim into heads.  Per-head
+  KV_h = K_h^T V_h is instead extracted from ONE full-width matmul:
+  (K^T V) * blockdiag_mask equals the block-diagonal stack of all KV_h, and
+  out = Q @ blockdiag(KV) then computes every head's product in one matmul.
+  The normalizer z[l, h] = Q_h[l] . Ksum_h becomes (Q * Ksum) @
+  blockdiag_ones — per-head lane-group sums broadcast back to channels.
+
+Backward: recompute-based custom VJP through a plain-XLA reference with
+identical math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-6
+_G = 8  # spatial positions per grid step
+
+
+def _elu1(x):
+    # jax.nn.elu uses expm1, which Mosaic lacks; exp is exact enough here
+    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _blockdiag(C: int, D: int, dtype):
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return ((row // D) == (col // D)).astype(dtype)
+
+
+def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
+            ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
+            ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
+            o_ref, *, heads: int, Tp: int, has_guid: bool):
+    G, T, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    D = C // heads
+    bd = _blockdiag(C, D, jnp.float32)
+
+    x = x_ref[0].reshape(G * T, C)
+    ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
+
+    qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
+    padkv = padkv_ref[:]          # (C, C) fp32, block-diagonal
+    padks = padks_ref[:]          # (1, C) fp32
+    if has_guid:
+        qg = qg_ref[0].astype(jnp.float32)  # (T, C)
+        kg = kg_ref[0].astype(jnp.float32)
+
+    outs = []
+    for g in range(G):
+        blk = qkv[g * T : (g + 1) * T]
+        q = blk[:, :C]
+        k = blk[:, C : 2 * C]
+        v = blk[:, 2 * C :]
+        if has_guid:
+            q = q + qg
+            k = k + kg
+        Q = _elu1(q)
+        K = _elu1(k)
+        kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        kv = kv * bd + padkv
+        ksum = jnp.sum(K, axis=0, keepdims=True) + padks  # (1, C)
+        z = jnp.dot(Q * ksum, bd, preferred_element_type=jnp.float32)  # (T, C) head sums
+        attn = jnp.dot(Q, kv, preferred_element_type=jnp.float32) * (Tp / (z + _EPS))
+        outs.append(attn)
+    attn_all = jnp.concatenate(outs, axis=0)  # (G*T, C)
+    seq = (x32 + attn_all).astype(x.dtype)
+
+    s32 = seq.astype(jnp.float32)
+    mu = jnp.mean(s32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
+    y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0] + ln2b_ref[0]).astype(x.dtype)
+    h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
+    h = jnp.maximum(h, 0.0).astype(x.dtype)
+    o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
+    o_ref[0] = (seq + o.astype(x.dtype)).reshape(G, T, C)
+
+
+def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
+    """K/V of the learnable padding row -> (pad_kv (C,C) blockdiag, pad_ksum (1,C)).
+
+    pad_token: (C,); pad_guid: (Cg,) or None.  Uses the layer's ln1 and k/v
+    projections exactly as a real row would (model.py:397-410)."""
+    C = pad_token.shape[0]
+    D = C // heads
+    t32 = pad_token.astype(jnp.float32)
+    mu = jnp.mean(t32)
+    var = jnp.mean(jnp.square(t32 - mu))
+    y = (t32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln1_g"].astype(jnp.float32) + p["ln1_b"].astype(jnp.float32)
+    k = y @ p["k_w"][:C].astype(jnp.float32) + p["k_b"].astype(jnp.float32)
+    v = y @ p["v_w"].astype(jnp.float32) + p["v_b"].astype(jnp.float32)
+    if pad_guid is not None:
+        k = k + pad_guid.astype(jnp.float32) @ p["k_w"][C:].astype(jnp.float32)
+    K = jnp.where(k > 0, k + 1.0, jnp.exp(jnp.minimum(k, 0.0)))
+    kv = jnp.outer(K, v / Tp) * n_pad
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    bd = ((row // D) == (col // D)).astype(jnp.float32)
+    return kv * bd, (K * n_pad).reshape(1, C)
+
+
+def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
+    """Plain-XLA math identical to the kernel (fallback + VJP recompute).
+
+    x_pm: (B, HW, T, C) position-major."""
+    B, HW, T, C = x_pm.shape
+    D = C // heads
+    x32 = x_pm.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln1_g"] + p["ln1_b"]).astype(x_pm.dtype)
+    qkv_w = jnp.concatenate([p["q_w"][:C], p["k_w"][:C], p["v_w"]], axis=1).astype(x_pm.dtype)
+    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]])
+    qkv = jnp.einsum("bntc,cd->bntd", y, qkv_w, preferred_element_type=jnp.float32) + qkv_b
+    q, k, v = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+    if qg is not None:
+        q = q + qg[:, None].astype(jnp.float32)
+        k = k + kg[:, None].astype(jnp.float32)
+    Q = jnp.where(q > 0, q + 1.0, jnp.exp(jnp.minimum(q, 0.0)))
+    K = jnp.where(k > 0, k + 1.0, jnp.exp(jnp.minimum(k, 0.0)))
+    Qh = Q.reshape(B, HW, T, heads, D)
+    Kh = K.reshape(B, HW, T, heads, D)
+    Vh = (v / Tp).reshape(B, HW, T, heads, D)
+    kv = jnp.einsum("bnthd,bnthe->bnhde", Kh, Vh)
+    kv = kv + pad_kv.reshape(heads, D, heads, D)[jnp.arange(heads), :, jnp.arange(heads), :]
+    ksum = Kh.sum(axis=2) + pad_ksum.reshape(heads, D)
+    z = jnp.einsum("bnthd,bnhd->bnth", Qh, ksum)
+    attn = jnp.einsum("bnthd,bnhde->bnthe", Qh, kv) * (Tp / (z[..., None] + _EPS))
+    seq = (x32 + attn.reshape(B, HW, T, C)).astype(x_pm.dtype)
+    s32 = seq.astype(jnp.float32)
+    mu = jnp.mean(s32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
+    y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln2_g"] + p["ln2_b"]).astype(x_pm.dtype)
+    h = jnp.einsum("bntc,cd->bntd", y2, p["mlp1_w"].astype(x_pm.dtype),
+                   preferred_element_type=jnp.float32) + p["mlp1_b"]
+    h = jnp.maximum(h, 0.0).astype(x_pm.dtype)
+    o = jnp.einsum("bntc,cd->bntd", h, p["mlp2_w"].astype(x_pm.dtype),
+                   preferred_element_type=jnp.float32) + p["mlp2_b"]
+    return seq + o.astype(x_pm.dtype)
+
+
+def _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool):
+    B, HW, T, C = x_pm.shape
+    G = _G
+    while HW % G:
+        G //= 2
+    has_guid = qg is not None
+    dt = x_pm.dtype
+
+    def v2(a, cast=None):
+        a = a.astype(cast or dt)
+        return a.reshape(1, -1) if a.ndim == 1 else a
+
+    qkv_w = jnp.concatenate([p["q_w"][:C], p["k_w"][:C], p["v_w"]], axis=1).astype(dt)
+    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]]).astype(jnp.float32).reshape(1, -1)
+    zerog = jnp.zeros((B, T, C), dt)
+    operands = [
+        x_pm,
+        (qg.astype(dt) if has_guid else zerog),
+        (kg.astype(dt) if has_guid else zerog),
+        pad_kv.astype(jnp.float32),
+        pad_ksum.astype(jnp.float32).reshape(1, C),
+        v2(p["ln1_g"], jnp.float32), v2(p["ln1_b"], jnp.float32),
+        qkv_w, qkv_b,
+        v2(p["ln2_g"], jnp.float32), v2(p["ln2_b"], jnp.float32),
+        v2(p["mlp1_w"]), v2(p["mlp1_b"], jnp.float32),
+        v2(p["mlp2_w"]), v2(p["mlp2_b"], jnp.float32),
+    ]
+    x_spec = pl.BlockSpec((1, G, T, C), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    specs = [x_spec, g_spec, g_spec] + [const(a) for a in operands[3:]]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, heads=heads, Tp=Tp, has_guid=has_guid),
+        out_shape=jax.ShapeDtypeStruct((B, HW, T, C), dt),
+        grid=(B, HW // G),
+        in_specs=specs,
+        out_specs=x_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * HW * T * C * (3 * C + 8 * C + 3 * C),
+            bytes_accessed=2 * B * HW * T * C * dt.itemsize,
+            transcendentals=B * HW * T * 2 * C,
+        ),
+    )(*operands)
+
+
+def _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=False)
+    if backend == "cpu":
+        return _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=True)
+    return _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_class_layer(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
+    """One class-attention transformer layer on position-major input.
+
+    x_pm: (B, HW, T, C) — T REAL classes only; the pad_len padding rows enter
+    through pad_kv (C, C) / pad_ksum (1, C) (see pad_contributions).  qg/kg:
+    (B, T, C) per-class text-guidance halves of q/k, or None.  p: dict with
+    ln1_g/b, q_w (C+Cg, C), q_b, k_w, k_b, v_w (C, C), v_b, ln2_g/b,
+    mlp1_w/b, mlp2_w/b.  Returns (B, HW, T, C) = input + attention + MLP
+    residual chain (the caller applies the outer pooling residual).
+    """
+    return _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+
+
+def _fwd(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp):
+    out = _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    return out, (x_pm, qg, kg, pad_kv, pad_ksum, p)
+
+
+def _bwd(heads, Tp, res, g):
+    x_pm, qg, kg, pad_kv, pad_ksum, p = res
+    _, vjp = jax.vjp(lambda *a: _reference(*a, heads, Tp), x_pm, qg, kg, pad_kv, pad_ksum, p)
+    return vjp(g)
+
+
+fused_class_layer.defvjp(_fwd, _bwd)

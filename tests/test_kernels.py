@@ -128,3 +128,76 @@ def test_fused_swin_pair_no_guidance_and_grad():
     g_fused = jax.grad(lambda x: jnp.sum(fused_swin_pair(x, None, p1, p2, mask, 4, 12) ** 2))(x)
     g_ref = jax.grad(lambda x: jnp.sum(_reference_pair(x, None, p1, p2, mask, 4, 12) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=5e-4, rtol=5e-4)
+
+
+def _class_layer_params(rng, C=128, Cg=48, pad=True):
+    import jax
+    from catseg_tpu.core.aggregator import _init_class_layer
+
+    return _init_class_layer(rng, C, Cg, 8 if pad else 0)
+
+
+def _legacy_class_path(x, text_guidance, cp, cfg):
+    """The pre-kernel XLA path: pad -> transpose -> LN -> attn -> MLP."""
+    import jax
+    from catseg_tpu.core import aggregator as A
+
+    B, T, H, W, C = x.shape
+    xp = x.reshape(B, T, H, W, C)
+    pad = cfg.pad_len - T if cfg.pad_len > 0 else 0
+    if pad > 0:
+        pad_tok = jnp.broadcast_to(cp["padding_tokens"].astype(xp.dtype), (B, pad, H, W, C))
+        xp = jnp.concatenate([xp, pad_tok], axis=1)
+        if text_guidance is not None:
+            pad_guid = jnp.broadcast_to(
+                cp["padding_guidance"].astype(text_guidance.dtype), (B, pad, text_guidance.shape[-1]))
+            text_guidance = jnp.concatenate([text_guidance, pad_guid], axis=1)
+    Tp = xp.shape[1]
+    seq = xp.transpose(0, 2, 3, 1, 4).reshape(B * H * W, Tp, C)
+    normed = A.layer_norm(seq, cp["norm1"]["g"], cp["norm1"]["b"])
+    seq = seq + A._class_attention_inner(normed, text_guidance, cp, cfg, n_pos=H * W)
+    normed = A.layer_norm(seq, cp["norm2"]["g"], cp["norm2"]["b"])
+    seq = seq + A._linear(jax.nn.relu(A._linear(normed, cp["mlp1_w"], cp["mlp1_b"])), cp["mlp2_w"], cp["mlp2_b"])
+    out = seq.reshape(B, H, W, Tp, C).transpose(0, 3, 1, 2, 4)[:, :T]
+    return x + out
+
+
+import pytest
+
+
+@pytest.mark.parametrize("T,with_guid", [(5, True), (8, True), (5, False)])
+def test_fused_class_layer_matches_legacy_path(T, with_guid):
+    import jax
+    from catseg_tpu.configs import CATSegConfig
+    from catseg_tpu.core import aggregator as A
+
+    B, H, W, C, Cg = 1, 8, 8, 128, 48
+    cfg = CATSegConfig(hidden_dim=C, num_heads=4, pad_len=8, pooling_size=(1, 1),
+                       attention_type="linear", feature_resolution=(H, W),
+                       text_guidance_proj_dim=Cg, compute_dtype="float32")
+    cp = _class_layer_params(jax.random.PRNGKey(0), C, Cg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+    tg = jnp.asarray(rng.randn(B, T, Cg).astype(np.float32) * 0.2) if with_guid else None
+
+    got = A.class_aggregation(x, tg, {"class": cp}, cfg)  # fused kernel path
+    want = _legacy_class_path(x, tg, cp, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4, rtol=3e-4)
+
+
+def test_fused_class_layer_grad():
+    import jax
+    from catseg_tpu.configs import CATSegConfig
+    from catseg_tpu.core import aggregator as A
+
+    B, T, H, W, C = 1, 5, 8, 8, 128
+    cfg = CATSegConfig(hidden_dim=C, num_heads=4, pad_len=8, pooling_size=(1, 1),
+                       attention_type="linear", feature_resolution=(H, W),
+                       text_guidance_proj_dim=0, compute_dtype="float32")
+    cp = _class_layer_params(jax.random.PRNGKey(1), C, 0)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+
+    g_fused = jax.grad(lambda x: jnp.sum(A.class_aggregation(x, None, {"class": cp}, cfg) ** 2))(x)
+    g_legacy = jax.grad(lambda x: jnp.sum(_legacy_class_path(x, None, cp, cfg) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_legacy), atol=1e-3, rtol=1e-3)
