@@ -389,8 +389,7 @@ def _double_conv(x: jnp.ndarray, dp: dict, guidances: tuple = ()) -> jnp.ndarray
         ofs += Cg
     x = jax.nn.relu(group_norm(h, mid // 16, dp["gn1"]["g"], dp["gn1"]["b"]))
     x = conv2d(x, dp["conv2_w"], None, padding=1)
-    x = jax.nn.relu(group_norm(x, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
-    return x
+    return jax.nn.relu(group_norm(x, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
 
 
 def _up(x: jnp.ndarray, guidance: jnp.ndarray | None, dp: dict) -> jnp.ndarray:

@@ -54,40 +54,55 @@ def _roll_rows_cols(x, s: int):
 def _window_attn(q, k, v, mask, heads: int, scale: float, H: int, W: int, win: int):
     """q/k/v: (H, W, C) shifted grids -> (H, W, C) attention output.
 
-    Windows are static (win, win) slices; per head, QK^T runs full-width with
-    q lane-masked to the head's channels.  mask: (nW, N, N) additive fp32 or
-    None.
+    Windows are static (win, win) slices.  Per head, QK^T runs full-width
+    with q lane-masked to the head's channels (Mosaic cannot split the
+    128-lane dim); all (window, head) pairs stack on ONE batched dot_general
+    so the MXU pipelines across them instead of draining per tiny matmul.
+    mask: (nW, N, N) additive fp32 or None.
     """
     C = q.shape[-1]
     D = C // heads
     N = win * win
+    nW = (H // win) * (W // win)
     # full-shape 0/1 multiplicative lane masks: Mosaic rejects jnp.where /
     # sublane-broadcasts against window slices of the (H, W, C) slab
     lane = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
-    rows_out = []
+    sels = [((lane >= h * D) & (lane < (h + 1) * D)).astype(q.dtype) for h in range(heads)]
+
+    qs, ks, vs, ms = [], [], [], []
     for wi in range(H // win):
-        cols_out = []
         for wj in range(W // win):
             qw = q[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
             kw = k[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
             vw = v[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
-            m = None if mask is None else mask[wi * (W // win) + wj]
-            acc = jnp.zeros((N, C), jnp.float32)
             for h in range(heads):
-                sel = ((lane >= h * D) & (lane < (h + 1) * D)).astype(qw.dtype)
-                qh = qw * sel
-                logits = jax.lax.dot_general(
-                    qh, kw, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * scale
-                if m is not None:
-                    logits = logits + m
-                mx = jnp.max(logits, axis=-1, keepdims=True)
-                e = jnp.exp(logits - mx)
-                attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vw.dtype)
-                acc = acc + jnp.dot(attn, vw * sel, preferred_element_type=jnp.float32)
-            cols_out.append(acc.astype(q.dtype).reshape(win, win, C))
-        rows_out.append(jnp.concatenate(cols_out, axis=1))
+                qs.append(qw * sels[h])
+                ks.append(kw)
+                vs.append(vw * sels[h])
+                if mask is not None:
+                    ms.append(mask[wi * (W // win) + wj])
+    Q = jnp.stack(qs)  # (nW*heads, N, C)
+    K = jnp.stack(ks)
+    V = jnp.stack(vs)
+    logits = jax.lax.dot_general(
+        Q, K, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (nW*heads, N, N)
+    if mask is not None:
+        logits = logits + jnp.stack(ms)  # (nW*heads, N, N)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - mx)
+    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+    out = jax.lax.dot_general(
+        attn, V, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nW*heads, N, C), nonzero only in each head's lanes
+    out = jnp.sum(out.reshape(nW, heads, N, C), axis=1).astype(q.dtype)  # (nW, N, C)
+
+    rows_out = []
+    for wi in range(H // win):
+        cols = [out[wi * (W // win) + wj].reshape(win, win, C) for wj in range(W // win)]
+        rows_out.append(jnp.concatenate(cols, axis=1))
     return jnp.concatenate(rows_out, axis=0)
 
 
