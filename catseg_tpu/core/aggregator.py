@@ -327,10 +327,7 @@ def class_aggregation(
         else:
             pad_kv = jnp.zeros((C, C), jnp.float32)
             pad_ksum = jnp.zeros((1, C), jnp.float32)
-        x_pm = x.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
-        out = fused_class_layer(x_pm, qg, kg, pad_kv, pad_ksum, p, cfg.num_heads, Tp)
-        out = out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
-        return x + out
+        return x + fused_class_layer(x, qg, kg, pad_kv, pad_ksum, p, cfg.num_heads, Tp)
 
     xp = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))
     Hp, Wp = xp.shape[1], xp.shape[2]

@@ -3,10 +3,13 @@
 The class stage (reference ClassTransformerLayer, model.py:357-424) at eval
 pooling (1,1) runs LN -> qkv -> linear attention over the class axis -> MLP
 for every spatial position.  The plain-XLA pipeline materializes the
-pad_len-padded (B*H*W, Tp, C) sequence plus every intermediate in HBM;
-this kernel processes G positions per grid step entirely in VMEM.
+pad_len-padded position-major (B*H*W, Tp, C) sequence (a 110+ MB transpose
+each way) plus every intermediate in HBM; this kernel reads the CLASS-major
+(B, T, H, W, C) activation directly — one image row of W positions per grid
+step, a (1, T, 1, W, C) block whose (W*C)-contiguous chunks DMA cleanly —
+and keeps everything in VMEM.
 
-Two tricks make it TPU-shaped:
+Three tricks make it TPU-shaped:
 
 - The learnable padding token (model.py:372-373,397-410) contributes
   IDENTICAL rows to every position's key/value set.  Linear attention only
@@ -53,11 +56,12 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
             ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
             ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
             o_ref, *, heads: int, Tp: int, has_guid: bool):
-    G, T, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    T, W, C = x_ref.shape[1], x_ref.shape[3], x_ref.shape[4]
     D = C // heads
     bd = _blockdiag(C, D, jnp.float32)
 
-    x = x_ref[0].reshape(G * T, C)
+    x3 = x_ref[0, :, 0]  # (T, W, C) — one image row, class-major
+    x = x3.reshape(T * W, C)
     ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -65,6 +69,7 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
 
     qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
+    qkv3 = qkv.reshape(T, W, 3 * C)
     padkv = padkv_ref[:]          # (C, C) fp32, block-diagonal
     padks = padks_ref[:]          # (1, C) fp32
     if has_guid:
@@ -72,8 +77,8 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
         kg = kg_ref[0].astype(jnp.float32)
 
     outs = []
-    for g in range(G):
-        blk = qkv[g * T : (g + 1) * T]
+    for w in range(W):
+        blk = qkv3[:, w, :]  # (T, 3C): one spatial position, all classes
         q = blk[:, :C]
         k = blk[:, C : 2 * C]
         v = blk[:, 2 * C :]
@@ -85,11 +90,15 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
         kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         kv = kv * bd + padkv
-        ksum = jnp.sum(K, axis=0, keepdims=True) + padks  # (1, C)
+        # sublane reduce of the position-sliced K is unimplemented in Mosaic;
+        # a ones-row contraction computes the same (1, C) sum on the MXU
+        ksum = jax.lax.dot_general(jnp.ones((1, T), jnp.float32), K,
+                                   dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32) + padks
         z = jnp.dot(Q * ksum, bd, preferred_element_type=jnp.float32)  # (T, C) head sums
         attn = jnp.dot(Q, kv, preferred_element_type=jnp.float32) * (Tp / (z + _EPS))
         outs.append(attn)
-    attn_all = jnp.concatenate(outs, axis=0)  # (G*T, C)
+    attn_all = jnp.stack(outs, axis=1).reshape(T * W, C)
     seq = (x32 + attn_all).astype(x.dtype)
 
     s32 = seq.astype(jnp.float32)
@@ -99,7 +108,7 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
     h = jnp.maximum(h, 0.0).astype(x.dtype)
     o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
-    o_ref[0] = (seq + o.astype(x.dtype)).reshape(G, T, C)
+    o_ref[0, :, 0] = (seq + o.astype(x.dtype)).reshape(T, W, C)
 
 
 def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
@@ -165,13 +174,10 @@ def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     return seq + o.astype(x_pm.dtype)
 
 
-def _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool):
-    B, HW, T, C = x_pm.shape
-    G = _G
-    while HW % G:
-        G //= 2
+def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool):
+    B, T, H, W, C = x.shape
     has_guid = qg is not None
-    dt = x_pm.dtype
+    dt = x.dtype
 
     def v2(a, cast=None):
         a = a.astype(cast or dt)
@@ -181,7 +187,7 @@ def _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: b
     qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]]).astype(jnp.float32).reshape(1, -1)
     zerog = jnp.zeros((B, T, C), dt)
     operands = [
-        x_pm,
+        x,
         (qg.astype(dt) if has_guid else zerog),
         (kg.astype(dt) if has_guid else zerog),
         pad_kv.astype(jnp.float32),
@@ -192,57 +198,67 @@ def _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: b
         v2(p["mlp1_w"]), v2(p["mlp1_b"], jnp.float32),
         v2(p["mlp2_w"]), v2(p["mlp2_b"], jnp.float32),
     ]
-    x_spec = pl.BlockSpec((1, G, T, C), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, T, C), lambda b, j: (b, 0, 0), memory_space=pltpu.VMEM)
-    const = lambda a: pl.BlockSpec(a.shape, lambda b, j: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, T, 1, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, T, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, h: (0,) * a.ndim, memory_space=pltpu.VMEM)
     specs = [x_spec, g_spec, g_spec] + [const(a) for a in operands[3:]]
 
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads, Tp=Tp, has_guid=has_guid),
-        out_shape=jax.ShapeDtypeStruct((B, HW, T, C), dt),
-        grid=(B, HW // G),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), dt),
+        grid=(B, H),
         in_specs=specs,
         out_specs=x_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * HW * T * C * (3 * C + 8 * C + 3 * C),
-            bytes_accessed=2 * B * HW * T * C * dt.itemsize,
-            transcendentals=B * HW * T * 2 * C,
+            flops=2 * B * H * W * T * C * (3 * C + 8 * C + 3 * C),
+            bytes_accessed=2 * B * T * H * W * C * dt.itemsize,
+            transcendentals=B * H * W * T * 2 * C,
         ),
     )(*operands)
 
 
-def _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
+def _fcl(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     backend = jax.default_backend()
     if backend == "tpu":
-        return _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=False)
+        return _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=False)
     if backend == "cpu":
-        return _pallas(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=True)
-    return _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+        return _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp, interpret=True)
+    B, T, H, W, C = x.shape
+    x_pm = x.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
+    out = _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    return out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_class_layer(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
-    """One class-attention transformer layer on position-major input.
+def fused_class_layer(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
+    """One class-attention transformer layer on CLASS-major input.
 
-    x_pm: (B, HW, T, C) — T REAL classes only; the pad_len padding rows enter
+    x: (B, T, H, W, C) — T REAL classes only; the pad_len padding rows enter
     through pad_kv (C, C) / pad_ksum (1, C) (see pad_contributions).  qg/kg:
     (B, T, C) per-class text-guidance halves of q/k, or None.  p: dict with
     ln1_g/b, q_w (C+Cg, C), q_b, k_w, k_b, v_w (C, C), v_b, ln2_g/b,
-    mlp1_w/b, mlp2_w/b.  Returns (B, HW, T, C) = input + attention + MLP
+    mlp1_w/b, mlp2_w/b.  Returns (B, T, H, W, C) = input + attention + MLP
     residual chain (the caller applies the outer pooling residual).
     """
-    return _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    return _fcl(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
 
 
-def _fwd(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp):
-    out = _fcl(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
-    return out, (x_pm, qg, kg, pad_kv, pad_ksum, p)
+def _fwd(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp):
+    out = _fcl(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    return out, (x, qg, kg, pad_kv, pad_ksum, p)
 
 
 def _bwd(heads, Tp, res, g):
-    x_pm, qg, kg, pad_kv, pad_ksum, p = res
-    _, vjp = jax.vjp(lambda *a: _reference(*a, heads, Tp), x_pm, qg, kg, pad_kv, pad_ksum, p)
+    x, qg, kg, pad_kv, pad_ksum, p = res
+
+    def ref(x, qg, kg, pad_kv, pad_ksum, p):
+        B, T, H, W, C = x.shape
+        x_pm = x.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
+        out = _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+        return out.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
+
+    _, vjp = jax.vjp(ref, x, qg, kg, pad_kv, pad_ksum, p)
     return vjp(g)
 
 
