@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--classes", default=None, help="comma-separated class names")
     ap.add_argument("--class-json", default=None)
     ap.add_argument("--tta", action="store_true")
+    ap.add_argument("--parallel", action="store_true",
+                    help="pipeline host prep with device execution (AsyncPredictor)")
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -66,16 +68,48 @@ def main(argv=None):
 
     from PIL import Image
 
-    for path in args.input:
-        img = load_image(path)
-        resized = resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test)
-        result = predictor.predict(resized, out_hw=img.shape[:2])
-        pred = result["sem_seg"].argmax(axis=0)
+    def emit(path, img, pred):
         vis = overlay(img, pred, palette, alpha=args.alpha)
         out_path = os.path.join(args.output, os.path.basename(path))
         Image.fromarray(vis).save(out_path)
         top = np.bincount(pred.reshape(-1), minlength=len(class_names)).argsort()[::-1][:5]
         print(f"{path} -> {out_path}; top classes: {[class_names[i] for i in top]}")
+
+    if args.parallel and len(args.input) > 1:
+        # demo/predictor.py:132-219 (--parallel): overlap host prep with the
+        # device; async dispatch replaces the reference's per-GPU processes
+        from ..infer.async_predictor import AsyncPredictor
+
+        ap_exec = AsyncPredictor(predictor)  # TTAPredictor also exposes probs_sliding
+        meta = []
+        for path in args.input:
+            img = load_image(path)
+            resized = resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test)
+            ap_exec.put(resized)
+            meta.append((path, img))
+        results = {}
+        for _ in meta:
+            idx, probs = ap_exec.get()
+            results[idx] = probs
+        ap_exec.shutdown()
+        from ..infer.pipeline import resize_argmax_dynamic
+
+        for idx, (path, img) in enumerate(meta):
+            h, w = img.shape[:2]
+            canvas = (-(-h // 256) * 256, -(-w // 256) * 256)
+            import jax.numpy as jnp
+
+            pred = np.asarray(resize_argmax_dynamic(
+                results[idx], jnp.asarray([h, w], np.int32), canvas))[:h, :w]
+            emit(path, img, pred)
+        return
+
+    for path in args.input:
+        img = load_image(path)
+        resized = resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test)
+        result = predictor.predict(resized, out_hw=img.shape[:2])
+        pred = result["sem_seg"].argmax(axis=0)
+        emit(path, img, pred)
 
 
 def _run_video(args, predictor, palette, class_names):
