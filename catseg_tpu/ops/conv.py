@@ -59,12 +59,13 @@ def conv_transpose2d_nonoverlap(
     # conv path; ~35% faster on TPU than matmul + explicit depth-to-space
     # (the 6-D transpose shuffles HBM at sub-cacheline granularity)
     wk = w.transpose(1, 2, 0, 3)[::-1, ::-1].astype(x.dtype)
+    # No preferred_element_type: with bf16 operands it breaks the conv
+    # gradient rule (fp32 cotangent vs bf16 rhs) — same constraint as conv2d.
     out = jax.lax.conv_general_dilated(
         x, wk, window_strides=(1, 1), padding=((k - 1, k - 1), (k - 1, k - 1)),
-        lhs_dilation=(k, k), dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        lhs_dilation=(k, k), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b is not None:
-        out = out + b.astype(jnp.float32)
+        out = (out.astype(jnp.float32) + b.astype(jnp.float32)).astype(out.dtype)
     return out.astype(x.dtype)
 
 

@@ -19,6 +19,10 @@ Per-dataset rules (reference file cited):
   through the sorted 60-id table (background -> 255).
 - pc459 (prepare_pascal_context_459.py): scipy .mat LabelMap minus 1, saved
   as 16-bit TIFF.
+- ade847 (prepare_ade20k_full.py): *_seg.png R/G channels decode to raw class
+  ids ((R/10)*256 + G); 847-entry id -> trainId table, unmapped -> 65535;
+  images and labels resized so the short side is <= 512; 16-bit TIFF labels.
+  Validation split only (same as the reference, prepare_ade20k_full.py:944+).
 """
 
 from __future__ import annotations
@@ -104,8 +108,60 @@ def prepare_pc459(root: str) -> None:
     print(f"converted {len(files)} masks -> {dst}")
 
 
+def prepare_ade847(root: str) -> None:
+    """ADE20K-full validation GT (prepare_ade20k_full.py:932-1010).
+
+    Reads index_ade20k.pkl for the file list, decodes each *_seg.png's R/G
+    channels into raw ADE class ids, remaps through the 847-entry table
+    (unmapped -> 65535), downscales images/labels whose short side exceeds
+    512 (cv2 linear / nearest, matching the reference), and writes uint16
+    TIFF labels + jpg images into the detectron2 layout."""
+    import pickle
+
+    import cv2
+
+    idmap = _load_idmap("ade847.json")
+    lut = np.full(3500, 65535, dtype=np.uint16)
+    for k, v in idmap.items():
+        lut[k] = v
+
+    base = os.path.join(root, "ADE20K_2021_17_01")
+    with open(os.path.join(base, "index_ade20k.pkl"), "rb") as f:
+        index = pickle.load(f)
+
+    img_dir = os.path.join(base, "images_detectron2", "validation")
+    ann_dir = os.path.join(base, "annotations_detectron2", "validation")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    n = 0
+    for folder, fname in zip(index["folder"], index["filename"]):
+        if fname.split("_")[1] != "val":
+            continue
+        img_path = os.path.join(root, folder, fname)
+        seg = np.asarray(Image.open(img_path.replace(".jpg", "_seg.png")))
+        raw = (seg[:, :, 0] // 10).astype(np.int32) * 256 + seg[:, :, 1].astype(np.int32)
+        img = np.asarray(Image.open(img_path))
+
+        h, w = img.shape[:2]
+        if min(h, w) > 512:
+            if w >= h:
+                h2, w2 = 512, round(w / h * 512)
+            else:
+                h2, w2 = round(h / w * 512), 512
+            img = cv2.resize(img, (w2, h2), interpolation=cv2.INTER_LINEAR)
+            raw = cv2.resize(raw, (w2, h2), interpolation=cv2.INTER_NEAREST)
+
+        Image.fromarray(img).save(os.path.join(img_dir, fname))
+        Image.fromarray(lut[np.clip(raw, 0, len(lut) - 1)]).save(
+            os.path.join(ann_dir, fname.replace(".jpg", ".tif")), "TIFF")
+        n += 1
+    print(f"converted {n} masks -> {ann_dir}")
+
+
 PREPARERS = {
     "coco": prepare_coco,
+    "ade847": prepare_ade847,
     "ade150": prepare_ade150,
     "voc": lambda r: prepare_voc(r, background=False),
     "vocb": lambda r: prepare_voc(r, background=True),

@@ -9,6 +9,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from catseg_tpu import ops
@@ -67,6 +68,24 @@ def test_conv_transpose_nonoverlap_matches_torch(k):
     w_ours = np.transpose(w_t, (0, 2, 3, 1))  # (Cin, kh, kw, Cout)
     got = np.asarray(ops.conv_transpose2d_nonoverlap(jnp.asarray(x), jnp.asarray(w_ours), jnp.asarray(b), kernel=k))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_conv_grads_work_in_bf16():
+    """Regression: preferred_element_type=f32 on a bf16 conv breaks the
+    gradient rule (fp32 cotangent vs bf16 rhs) — both conv paths must be
+    differentiable at the training compute dtype."""
+    x = jnp.asarray(_rand(2, 6, 6, 10, seed=5), jnp.bfloat16)
+    wt = jnp.asarray(_rand(10, 2, 2, 8, seed=6), jnp.bfloat16)
+    wc = jnp.asarray(_rand(3, 3, 10, 8, seed=7), jnp.bfloat16)
+
+    def f(x, wt, wc):
+        y = ops.conv_transpose2d_nonoverlap(x, wt, None, kernel=2)
+        z = ops.conv2d(x, wc, None, padding=1)
+        return jnp.sum(y.astype(jnp.float32)) + jnp.sum(z.astype(jnp.float32))
+
+    gx, gwt, gwc = jax.grad(f, argnums=(0, 1, 2))(x, wt, wc)
+    assert gx.shape == x.shape and gwt.shape == wt.shape and gwc.shape == wc.shape
+    assert np.isfinite(np.asarray(gx, np.float32)).all()
 
 
 @pytest.mark.parametrize("pool", [(2, 2), (6, 6), (1, 1)])
