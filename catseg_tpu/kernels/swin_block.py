@@ -44,81 +44,90 @@ def _ln(x32, g, b, eps=1e-5):
 
 
 def _roll_rows_cols(x, s: int):
-    """Cyclic shift by +s on both spatial axes of (H, W, C)."""
+    """Cyclic shift by +s on the last three dims' spatial axes (..., H, W, C)."""
     if s == 0:
         return x
-    x = jnp.concatenate([x[-s:], x[:-s]], axis=0)
-    return jnp.concatenate([x[:, -s:], x[:, :-s]], axis=1)
+    x = jnp.concatenate([x[..., -s:, :, :], x[..., :-s, :, :]], axis=-3)
+    return jnp.concatenate([x[..., :, -s:, :], x[..., :, :-s, :]], axis=-2)
 
 
 def _window_attn(q, k, v, mask, heads: int, scale: float, H: int, W: int, win: int):
-    """q/k/v: (H, W, C) shifted grids -> (H, W, C) attention output.
+    """q/k/v: (G, H, W, C) shifted grids -> (G, H, W, C) attention output.
 
     Windows are static (win, win) slices.  Per head, QK^T runs full-width
     with q lane-masked to the head's channels (Mosaic cannot split the
-    128-lane dim); all (window, head) pairs stack on ONE batched dot_general
-    so the MXU pipelines across them instead of draining per tiny matmul.
+    128-lane dim).  Only Q is expanded per head (rows h*N+n, lane-masked to
+    head h); K and V are stacked ONCE per window — the per-head output mask
+    is applied AFTER attn@V, which commutes because the lane mask acts on
+    the contraction-free channel axis.  This cuts the window-stack copy
+    traffic from 3*heads to (heads + 2) slabs per window, which dominated
+    the kernel (softmax itself is ~2 ms of a 9 ms attention stage).
     mask: (nW, N, N) additive fp32 or None.
     """
-    C = q.shape[-1]
+    G, C = q.shape[0], q.shape[-1]
     D = C // heads
     N = win * win
     nW = (H // win) * (W // win)
-    # full-shape 0/1 multiplicative lane masks: Mosaic rejects jnp.where /
-    # sublane-broadcasts against window slices of the (H, W, C) slab
-    lane = jax.lax.broadcasted_iota(jnp.int32, (N, C), 1)
-    sels = [((lane >= h * D) & (lane < (h + 1) * D)).astype(q.dtype) for h in range(heads)]
+    # stacked per-head lane mask: row h*N+n keeps lanes of head h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 0)
+    hsel = ((lane >= (row // N) * D) & (lane < (row // N + 1) * D)).astype(q.dtype)
 
-    qs, ks, vs, ms = [], [], [], []
-    for wi in range(H // win):
-        for wj in range(W // win):
-            qw = q[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
-            kw = k[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
-            vw = v[wi * win : (wi + 1) * win, wj * win : (wj + 1) * win].reshape(N, C)
-            for h in range(heads):
-                qs.append(qw * sels[h])
-                ks.append(kw)
-                vs.append(vw * sels[h])
-                if mask is not None:
-                    ms.append(mask[wi * (W // win) + wj])
-    Q = jnp.stack(qs)  # (nW*heads, N, C)
+    qs, ks, vs = [], [], []
+    for g in range(G):
+        for wi in range(H // win):
+            for wj in range(W // win):
+                sl = (g, slice(wi * win, (wi + 1) * win), slice(wj * win, (wj + 1) * win))
+                qs.append(q[sl].reshape(N, C))
+                ks.append(k[sl].reshape(N, C))
+                vs.append(v[sl].reshape(N, C))
+    Q = jnp.stack(qs)  # (G*nW, N, C)
     K = jnp.stack(ks)
     V = jnp.stack(vs)
+    Qh = jnp.tile(Q, (1, heads, 1)) * hsel[None]  # (G*nW, heads*N, C)
     logits = jax.lax.dot_general(
-        Q, K, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        Qh, K, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * scale  # (nW*heads, N, N)
+    ) * scale  # (G*nW, heads*N, N)
     if mask is not None:
-        logits = logits + jnp.stack(ms)  # (nW*heads, N, N)
+        mh = jnp.tile(mask, (1, heads, 1))  # (nW, heads*N, N), row h*N+n = mask[n]
+        logits = logits + jnp.tile(mh, (G, 1, 1))
     mx = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - mx)
     attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
     out = jax.lax.dot_general(
         attn, V, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (nW*heads, N, C), nonzero only in each head's lanes
-    out = jnp.sum(out.reshape(nW, heads, N, C), axis=1).astype(q.dtype)  # (nW, N, C)
+    ).astype(q.dtype)  # (G*nW, heads*N, C) full-width rows
+    # per-head lane mask then head-sum reassembles the partitioned channels
+    out = jnp.sum((out * hsel[None]).reshape(G * nW, heads, N, C), axis=1)  # (G*nW, N, C)
 
-    rows_out = []
-    for wi in range(H // win):
-        cols = [out[wi * (W // win) + wj].reshape(win, win, C) for wj in range(W // win)]
-        rows_out.append(jnp.concatenate(cols, axis=1))
-    return jnp.concatenate(rows_out, axis=0)
+    slabs = []
+    for g in range(G):
+        rows_out = []
+        for wi in range(H // win):
+            cols = [out[g * nW + wi * (W // win) + wj].reshape(win, win, C)
+                    for wj in range(W // win)]
+            rows_out.append(jnp.concatenate(cols, axis=1))
+        slabs.append(jnp.concatenate(rows_out, axis=0))
+    return jnp.stack(slabs)
 
 
 def _one_block(x, qg, kg, p, mask, heads: int, shift: int, H: int, W: int, win: int):
-    """x: (H*W, C) in compute dtype; qg/kg: (H, W, C) or None.  One swin block."""
-    C = x.shape[-1]
+    """x: (G, H, W, C) in compute dtype; qg/kg: (H, W, C) or None.  One swin
+    block over G class slabs of one image (guidance is class-invariant)."""
+    G, C = x.shape[0], x.shape[-1]
     scale = (C // heads) ** -0.5
-    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
+    xf = x.reshape(G * H * W, C)
+    y = _ln(xf.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
     qkv = jnp.dot(y, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
     qkv = qkv.astype(x.dtype)
-    q = qkv[:, :C].reshape(H, W, C)
-    k = qkv[:, C : 2 * C].reshape(H, W, C)
-    v = qkv[:, 2 * C :].reshape(H, W, C)
+    q = qkv[:, :C].reshape(G, H, W, C)
+    k = qkv[:, C : 2 * C].reshape(G, H, W, C)
+    v = qkv[:, 2 * C :].reshape(G, H, W, C)
     if qg is not None:
-        q = q + qg.astype(x.dtype)
-        k = k + kg.astype(x.dtype)
+        q = q + qg.astype(x.dtype)[None]
+        k = k + kg.astype(x.dtype)[None]
     if shift > 0:
         q = _roll_rows_cols(q, -shift)
         k = _roll_rows_cols(k, -shift)
@@ -126,13 +135,13 @@ def _one_block(x, qg, kg, p, mask, heads: int, shift: int, H: int, W: int, win: 
     out = _window_attn(q, k, v, mask, heads, scale, H, W, win)
     if shift > 0:
         out = _roll_rows_cols(out, shift)
-    out = jnp.dot(out.reshape(H * W, C), p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
-    x = x + out.astype(x.dtype)
-    y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
+    out = jnp.dot(out.reshape(G * H * W, C), p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
+    xf = xf + out.astype(x.dtype)
+    y = _ln(xf.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
     h = jnp.dot(y, p["fc1_w"], preferred_element_type=jnp.float32) + p["fc1_b"]
     h = _act(h, "gelu").astype(x.dtype)
     o = jnp.dot(h, p["fc2_w"], preferred_element_type=jnp.float32) + p["fc2_b"]
-    return x + o.astype(x.dtype)
+    return (xf + o.astype(x.dtype)).reshape(G, H, W, C)
 
 
 _P_KEYS = ("ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b",
@@ -157,7 +166,7 @@ def _kernel(*refs, heads: int, H: int, W: int, win: int, has_guid: bool):
 
     P1, P2 = unflat(p1), unflat(p2)
 
-    x = x_ref[0].reshape(H * W, -1)
+    x = x_ref[0]  # (G, H, W, C): G class slabs of one image
     qg1 = kg1 = qg2 = kg2 = None
     if has_guid:
         qg1, kg1 = qg1_ref[0], kg1_ref[0]
@@ -165,7 +174,7 @@ def _kernel(*refs, heads: int, H: int, W: int, win: int, has_guid: bool):
     mask = mask_ref[:]
     x = _one_block(x, qg1, kg1, P1, None, heads, 0, H, W, win)
     x = _one_block(x, qg2, kg2, P2, mask, heads, win // 2, H, W, win)
-    o_ref[0, 0] = x.reshape(H, W, -1)
+    o_ref[0] = x
 
 
 def _flat_params(p, dtype):
@@ -178,15 +187,31 @@ def _flat_params(p, dtype):
     return out
 
 
+# class slabs per grid step (tuning hook; see comment at the use site)
+_G_OVERRIDE = 2
+
+
 def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
     B, T, H, W, C = x.shape
     has_guid = guid4 is not None
-    grid = (B, T)
-    x_spec = pl.BlockSpec((1, 1, H, W, C), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    # G class slabs per grid step: amortizes per-step dispatch/DMA overhead
+    # and widens the qkv/proj/MLP gemms G-fold.  G=2 is the VMEM ceiling at
+    # (24, 24, 128) eval shapes (G=4 overflows the 16 MB scoped limit: the
+    # fp32 attention logits (G*nW*heads, N, N) + fp32 gemm accumulators hit
+    # 23 MB); classes pad to a multiple of G (the padded slabs compute
+    # garbage that is sliced away — <1% waste at benchmark Ts).
+    G = min(_G_OVERRIDE, T)
+    Tp = -(-T // G) * G
+    if Tp != T:
+        x = jnp.concatenate([x, jnp.zeros((B, Tp - T, H, W, C), x.dtype)], axis=1)
+
+    grid = (B, Tp // G)
+    x_spec = pl.BlockSpec((1, G, H, W, C), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    operands = [x.reshape(B, T, H, W, C)]
+    operands = [x]
     specs = [x_spec]
     if has_guid:
         for g in guid4:
@@ -200,21 +225,22 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
             specs.append(const(a))
 
     nW, N = (H // win) * (W // win), win * win
-    flops_attn = 2 * B * T * nW * heads * 2 * N * C * N  # lane-masked full-width
-    flops_mm = 2 * B * T * H * W * C * (3 * C + C + 8 * C)
-    return pl.pallas_call(
+    flops_attn = 2 * B * Tp * nW * heads * 2 * N * C * N  # lane-masked full-width
+    flops_mm = 2 * B * Tp * H * W * C * (3 * C + C + 8 * C)
+    out = pl.pallas_call(
         functools.partial(_kernel, heads=heads, H=H, W=W, win=win, has_guid=has_guid),
-        out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, H, W, C), x.dtype),
         grid=grid,
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, 1, H, W, C), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=x_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (flops_attn + flops_mm),
-            bytes_accessed=2 * B * T * H * W * C * x.dtype.itemsize,
-            transcendentals=2 * B * T * (nW * heads * N * N + H * W * 4 * C),
+            bytes_accessed=2 * B * Tp * H * W * C * x.dtype.itemsize,
+            transcendentals=2 * B * Tp * (nW * heads * N * N + H * W * 4 * C),
         ),
     )(*operands)
+    return out[:, :T] if Tp != T else out
 
 
 def _reference_pair(x, guid4, p1, p2, mask, heads: int, win: int):
