@@ -389,19 +389,40 @@ def _double_conv(x: jnp.ndarray, dp: dict, guidances: tuple = ()) -> jnp.ndarray
     return jax.nn.relu(group_norm(x, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
 
 
-def _up(x: jnp.ndarray, guidance: jnp.ndarray | None, dp: dict) -> jnp.ndarray:
-    """ConvT(k2 s2) -> guidance-conditioned DoubleConv (model.py:540-555)."""
+def _up_tail(
+    x: jnp.ndarray,
+    guidances: tuple,
+    dp: dict,
+    head: dict | None,
+    B: int,
+    T: int,
+) -> jnp.ndarray:
+    """ConvT(k2 s2) -> DoubleConv [+ head conv] (model.py:540-555,632-634).
+
+    x: (B*T, H, W, Cin); returns (B*T, H', W', mid), or fp32 (B*T, H', W')
+    when ``head`` is given.  Kept in plain XLA on purpose: a fully fused
+    per-slab Pallas version was tried and measured 3.8x SLOWER (70 ms vs
+    18.6 ms at eval shapes) — 3x3 convs at 32-64 channels pad the MXU's
+    128-wide tiles per tap, while XLA's conv emitter tiles them properly;
+    a VPU 9-tap head kernel also lost (13 ms vs ~3 ms).  B/T are taken for
+    signature parity with the fused aggregator stages.
+    """
+    del B, T
     x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
-    return _double_conv(x, dp, guidances=(guidance,) if guidance is not None else ())
+    h = _double_conv(x, dp, guidances=tuple(guidances))
+    if head is not None:
+        return conv2d(h, head["w"], head["b"], padding=1)[..., 0].astype(jnp.float32)
+    return h
 
 
 def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:
     """(B, T, 24, 24, C) -> (B, T, 96, 96) per-class logits (model.py:674-681)."""
     B, T, H, W, C = x.shape
     x = x.reshape(B * T, H, W, C)
-    x = _up(x, guidance[0], agg["decoder1"])
-    x = _up(x, guidance[1], agg["decoder2"])
-    x = conv2d(x, agg["head"]["w"], agg["head"]["b"], padding=1)
+    g1 = (guidance[0],) if guidance[0] is not None else ()
+    g2 = (guidance[1],) if guidance[1] is not None else ()
+    x = _up_tail(x, g1, agg["decoder1"], None, B, T)
+    x = _up_tail(x, g2, agg["decoder2"], agg["head"], B, T)
     return x.reshape(B, T, x.shape[1], x.shape[2]).astype(jnp.float32)
 
 

@@ -30,7 +30,7 @@ from ..configs import CATSegConfig
 from ..ops import conv2d, resize_bilinear
 from ..ops.conv import conv_transpose2d_nonoverlap
 from .aggregator import (
-    _double_conv,
+    _up_tail,
     _linear,
     class_aggregation,
     corr_embed,
@@ -52,12 +52,11 @@ def _corr_embed2(corr: jnp.ndarray, conv: dict) -> jnp.ndarray:
     return x.reshape(B, T, H, W, -1)
 
 
-def _fusion_up(x, clip_g, dino_g, dp):
+def _fusion_up(x, clip_g, dino_g, dp, head, B, T):
     """FusionUP (FusionAggregator.py:757-772): ConvT then both guidance
-    pyramids fused via the algebraic conv split (see _double_conv)."""
-    x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
+    pyramids fused via the algebraic conv split (see _up_tail)."""
     guid = tuple(g for g in (clip_g, dino_g) if g is not None)
-    return _double_conv(x, dp, guidances=guid)
+    return _up_tail(x, guid, dp, head, B, T)
 
 
 def fusion_aggregator_forward(
@@ -114,9 +113,8 @@ def fusion_aggregator_forward(
         x = class_aggregation(x, text_guid, layer, cfg)
 
     xs = x.reshape(B * Tc, H, W, -1)
-    xs = _fusion_up(xs, clip_dec[0], dino_dec[0], agg["decoder1"])
-    xs = _fusion_up(xs, clip_dec[1], dino_dec[1], agg["decoder2"])
-    xs = conv2d(xs, agg["head"]["w"], agg["head"]["b"], padding=1)
+    xs = _fusion_up(xs, clip_dec[0], dino_dec[0], agg["decoder1"], None, B, Tc)
+    xs = _fusion_up(xs, clip_dec[1], dino_dec[1], agg["decoder2"], agg["head"], B, Tc)
     logits = xs.reshape(B, Tc, xs.shape[1], xs.shape[2]).astype(jnp.float32)
     if classes is not None:
         logits = scatter_full_logits(logits, classes, T)
