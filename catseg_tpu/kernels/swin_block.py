@@ -6,21 +6,35 @@ attention -> proj -> window-reverse -> residual -> LN -> MLP chain round
 trips the (B*T, 24, 24, 128) activation through HBM ~10 times (~2.5 GB per
 block at eval shapes, ~11 ms measured vs a ~1.5 ms roofline).
 
-This kernel runs ONE grid step per (image, class) slab: the whole
-(H, W, C) activation lives in VMEM while both blocks of the pair (shift 0,
-then shift window/2) execute end to end — LN1, one fused qkv gemm,
-per-image guidance q/k add, cyclic shift via wrap-around static slices,
-per-window masked-head attention (Mosaic cannot split the 128-lane channel
-dim into heads, so each head's QK^T is a full-width matmul against a
-lane-masked q — redundant MACs on a perfect MXU tile beat HBM round trips),
-window re-assembly, out-proj, residual, LN2, exact-GELU MLP (hidden stays in
-VMEM), residual.  HBM traffic per block-pair: read x + guidance projections
-+ weights, write x — ~0.25 GB instead of ~5 GB.
+This kernel runs ONE grid step per (image, G-class slab): the whole
+activation lives in VMEM while both blocks of the pair (shift 0, then
+shift window/2) execute end to end — LN1, one fused qkv gemm, per-image
+guidance q/k add, per-window masked-head attention, out-proj, residual,
+LN2, exact-GELU MLP (hidden stays in VMEM), residual.
 
-Guidance semantics follow model.py:94-96/193-195 via the algebraic split
-linear(concat(x, g)) == linear_x(x) + linear_g(g): the per-image halves
-(qg/kg) are projected once per image outside and broadcast across T by the
-BlockSpec index map.
+Two TPU-specific moves shape the attention machinery:
+
+- **Window partition / cyclic shift as permutation matmuls.** Mosaic
+  relayouts for the slice/reshape/concat window partition (and its inverse)
+  dominated the kernel (~6 ms/layer measured; softmax itself is ~2 ms).
+  Both the shift roll and the (win, win) partition are one row permutation
+  of the flattened (H*W, C) token matrix, so each block multiplies by a
+  constant one-hot (H*W, H*W) matrix before qkv and by its transpose after
+  attention — 2 MXU matmuls replace ~30 VPU relayout copies.  Window rows
+  then materialize as pure leading-dim reshapes.
+
+- **Lane-masked heads.** Mosaic cannot split the 128-lane channel dim into
+  heads, so per head the QK^T runs full-width against a lane-masked q
+  (redundant MACs on a perfect MXU tile beat the relayout).  Only Q is
+  expanded per head; K/V are kept once per window and the per-head output
+  mask is applied after attn@V (the lane mask acts on the contraction-free
+  axis, so it commutes).
+
+HBM traffic per block-pair: read x + guidance + weights, write x —
+~0.25 GB instead of ~5 GB.  Guidance semantics follow model.py:94-96/193-195
+via the algebraic split linear(concat(x, g)) == linear_x(x) + linear_g(g):
+the per-image halves (qg/kg) are projected and pre-permuted once per image
+outside and broadcast across class slabs by the BlockSpec index map.
 
 Backward: recompute-based custom VJP through the plain-XLA reference pair.
 """
@@ -31,6 +45,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -43,50 +58,41 @@ def _ln(x32, g, b, eps=1e-5):
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def _roll_rows_cols(x, s: int):
-    """Cyclic shift by +s on the last three dims' spatial axes (..., H, W, C)."""
-    if s == 0:
-        return x
-    x = jnp.concatenate([x[..., -s:, :, :], x[..., :-s, :, :]], axis=-3)
-    return jnp.concatenate([x[..., :, -s:, :], x[..., :, :-s, :]], axis=-2)
+def _partition_indices(H: int, W: int, win: int, shift: int) -> np.ndarray:
+    """src[t] = flat grid index feeding window-major row t (shift folded in).
 
-
-def _window_attn(q, k, v, mask, heads: int, scale: float, H: int, W: int, win: int):
-    """q/k/v: (G, H, W, C) shifted grids -> (G, H, W, C) attention output.
-
-    Windows are static (win, win) slices.  Per head, QK^T runs full-width
-    with q lane-masked to the head's channels (Mosaic cannot split the
-    128-lane dim).  Only Q is expanded per head (rows h*N+n, lane-masked to
-    head h); K and V are stacked ONCE per window — the per-head output mask
-    is applied AFTER attn@V, which commutes because the lane mask acts on
-    the contraction-free channel axis.  This cuts the window-stack copy
-    traffic from 3*heads to (heads + 2) slabs per window, which dominated
-    the kernel (softmax itself is ~2 ms of a 9 ms attention stage).
-    mask: (nW, N, N) additive fp32 or None.
+    Row order: windows scan (wi, wj) row-major — matching the additive mask
+    built by aggregator._shift_mask — then (win, win) row-major within the
+    window, applied to the grid rolled by (-shift, -shift).
     """
-    G, C = q.shape[0], q.shape[-1]
+    idx = np.arange(H * W).reshape(H, W)
+    r = np.roll(idx, (-shift, -shift), axis=(0, 1))
+    return (
+        r.reshape(H // win, win, W // win, win)
+        .transpose(0, 2, 1, 3)
+        .reshape(H * W)
+    )
+
+
+def _perm_matrix(src: np.ndarray) -> np.ndarray:
+    n = src.shape[0]
+    P = np.zeros((n, n), np.float32)
+    P[np.arange(n), src] = 1.0
+    return P
+
+
+def _window_attn(q, k, v, mask, heads: int, scale: float, G: int, nW: int, N: int):
+    """q/k/v: (G*nW, N, C) window-major rows -> (G*nW, N, C) attention out."""
+    C = q.shape[-1]
     D = C // heads
-    N = win * win
-    nW = (H // win) * (W // win)
     # stacked per-head lane mask: row h*N+n keeps lanes of head h
     lane = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 0)
     hsel = ((lane >= (row // N) * D) & (lane < (row // N + 1) * D)).astype(q.dtype)
 
-    qs, ks, vs = [], [], []
-    for g in range(G):
-        for wi in range(H // win):
-            for wj in range(W // win):
-                sl = (g, slice(wi * win, (wi + 1) * win), slice(wj * win, (wj + 1) * win))
-                qs.append(q[sl].reshape(N, C))
-                ks.append(k[sl].reshape(N, C))
-                vs.append(v[sl].reshape(N, C))
-    Q = jnp.stack(qs)  # (G*nW, N, C)
-    K = jnp.stack(ks)
-    V = jnp.stack(vs)
-    Qh = jnp.tile(Q, (1, heads, 1)) * hsel[None]  # (G*nW, heads*N, C)
+    Qh = jnp.tile(q, (1, heads, 1)) * hsel[None]  # (G*nW, heads*N, C)
     logits = jax.lax.dot_general(
-        Qh, K, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        Qh, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # (G*nW, heads*N, N)
     if mask is not None:
@@ -96,64 +102,66 @@ def _window_attn(q, k, v, mask, heads: int, scale: float, H: int, W: int, win: i
     e = jnp.exp(logits - mx)
     attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
     out = jax.lax.dot_general(
-        attn, V, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(q.dtype)  # (G*nW, heads*N, C) full-width rows
     # per-head lane mask then head-sum reassembles the partitioned channels
-    out = jnp.sum((out * hsel[None]).reshape(G * nW, heads, N, C), axis=1)  # (G*nW, N, C)
-
-    slabs = []
-    for g in range(G):
-        rows_out = []
-        for wi in range(H // win):
-            cols = [out[g * nW + wi * (W // win) + wj].reshape(win, win, C)
-                    for wj in range(W // win)]
-            rows_out.append(jnp.concatenate(cols, axis=1))
-        slabs.append(jnp.concatenate(rows_out, axis=0))
-    return jnp.stack(slabs)
+    return jnp.sum((out * hsel[None]).reshape(G * nW, heads, N, C), axis=1)
 
 
-def _one_block(x, qg, kg, p, mask, heads: int, shift: int, H: int, W: int, win: int):
-    """x: (G, H, W, C) in compute dtype; qg/kg: (H, W, C) or None.  One swin
-    block over G class slabs of one image (guidance is class-invariant)."""
-    G, C = x.shape[0], x.shape[-1]
+def _one_block(x, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: int):
+    """x: (G*HW, C) grid-row-major tokens; qg/kg: (HW, C) pre-permuted
+    per-image guidance or None; P: (HW, HW) window-partition permutation."""
+    C = x.shape[-1]
     scale = (C // heads) ** -0.5
-    xf = x.reshape(G * H * W, C)
-    y = _ln(xf.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
-    qkv = jnp.dot(y, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
+    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
+    # window-major permutation (shift folded in): one matmul per slab
+    yp = jnp.concatenate(
+        [jnp.dot(P, y[g * HW : (g + 1) * HW], preferred_element_type=jnp.float32).astype(x.dtype)
+         for g in range(G)],
+        axis=0,
+    )
+    qkv = jnp.dot(yp, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
     qkv = qkv.astype(x.dtype)
-    q = qkv[:, :C].reshape(G, H, W, C)
-    k = qkv[:, C : 2 * C].reshape(G, H, W, C)
-    v = qkv[:, 2 * C :].reshape(G, H, W, C)
+    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
     if qg is not None:
-        q = q + qg.astype(x.dtype)[None]
-        k = k + kg.astype(x.dtype)[None]
-    if shift > 0:
-        q = _roll_rows_cols(q, -shift)
-        k = _roll_rows_cols(k, -shift)
-        v = _roll_rows_cols(v, -shift)
-    out = _window_attn(q, k, v, mask, heads, scale, H, W, win)
-    if shift > 0:
-        out = _roll_rows_cols(out, shift)
-    out = jnp.dot(out.reshape(G * H * W, C), p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
-    xf = xf + out.astype(x.dtype)
-    y = _ln(xf.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
+        qga = qg.astype(x.dtype)
+        kga = kg.astype(x.dtype)
+        q = (q.reshape(G, HW, C) + qga[None]).reshape(G * HW, C)
+        k = (k.reshape(G, HW, C) + kga[None]).reshape(G * HW, C)
+    out = _window_attn(
+        q.reshape(G * nW, N, C), k.reshape(G * nW, N, C), v.reshape(G * nW, N, C),
+        mask, heads, scale, G, nW, N,
+    )  # (G*nW, N, C)
+    out = out.reshape(G, HW, C)
+    # inverse permutation = P^T: contract over P's rows
+    out = jnp.concatenate(
+        [jax.lax.dot_general(
+            P, out[g], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype) for g in range(G)],
+        axis=0,
+    )
+    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
+    x = x + out.astype(x.dtype)
+    y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
     h = jnp.dot(y, p["fc1_w"], preferred_element_type=jnp.float32) + p["fc1_b"]
     h = _act(h, "gelu").astype(x.dtype)
     o = jnp.dot(h, p["fc2_w"], preferred_element_type=jnp.float32) + p["fc2_b"]
-    return (xf + o.astype(x.dtype)).reshape(G, H, W, C)
+    return x + o.astype(x.dtype)
 
 
 _P_KEYS = ("ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b",
            "ln2_g", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
 
 
-def _kernel(*refs, heads: int, H: int, W: int, win: int, has_guid: bool):
+def _kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: bool):
     it = iter(refs)
     x_ref = next(it)
     if has_guid:
         qg1_ref, kg1_ref, qg2_ref, kg2_ref = next(it), next(it), next(it), next(it)
     mask_ref = next(it)
+    perm1_ref, perm2_ref = next(it), next(it)
     p1 = {k: next(it) for k in _P_KEYS}
     p2 = {k: next(it) for k in _P_KEYS}
     o_ref = next(it)
@@ -166,15 +174,15 @@ def _kernel(*refs, heads: int, H: int, W: int, win: int, has_guid: bool):
 
     P1, P2 = unflat(p1), unflat(p2)
 
-    x = x_ref[0]  # (G, H, W, C): G class slabs of one image
+    x = x_ref[0].reshape(G * HW, -1)  # G class slabs of one image, grid rows
     qg1 = kg1 = qg2 = kg2 = None
     if has_guid:
         qg1, kg1 = qg1_ref[0], kg1_ref[0]
         qg2, kg2 = qg2_ref[0], kg2_ref[0]
     mask = mask_ref[:]
-    x = _one_block(x, qg1, kg1, P1, None, heads, 0, H, W, win)
-    x = _one_block(x, qg2, kg2, P2, mask, heads, win // 2, H, W, win)
-    o_ref[0] = x
+    x = _one_block(x, qg1, kg1, P1, None, perm1_ref[:], heads, G, HW, nW, N)
+    x = _one_block(x, qg2, kg2, P2, mask, perm2_ref[:], heads, G, HW, nW, N)
+    o_ref[0] = x.reshape(G, HW, -1)
 
 
 def _flat_params(p, dtype):
@@ -189,57 +197,73 @@ def _flat_params(p, dtype):
 
 # class slabs per grid step (tuning hook; see comment at the use site)
 _G_OVERRIDE = 2
+# scoped-VMEM ceiling for the kernel (the 16 MB default is conservative)
+_VMEM_LIMIT = 32 * 1024 * 1024
 
 
 def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
     B, T, H, W, C = x.shape
     has_guid = guid4 is not None
+    HW = H * W
+    nW, N = (H // win) * (W // win), win * win
 
     # G class slabs per grid step: amortizes per-step dispatch/DMA overhead
     # and widens the qkv/proj/MLP gemms G-fold.  G=2 is the VMEM ceiling at
-    # (24, 24, 128) eval shapes (G=4 overflows the 16 MB scoped limit: the
-    # fp32 attention logits (G*nW*heads, N, N) + fp32 gemm accumulators hit
-    # 23 MB); classes pad to a multiple of G (the padded slabs compute
-    # garbage that is sliced away — <1% waste at benchmark Ts).
+    # (24, 24, 128) eval shapes (larger G overflows the 16 MB scoped limit
+    # with the fp32 attention logits + gemm accumulators); classes pad to a
+    # multiple of G (the padded slabs compute garbage that is sliced away —
+    # <1% waste at benchmark Ts).
     G = min(_G_OVERRIDE, T)
     Tp = -(-T // G) * G
     if Tp != T:
         x = jnp.concatenate([x, jnp.zeros((B, Tp - T, H, W, C), x.dtype)], axis=1)
 
+    src1 = _partition_indices(H, W, win, 0)
+    src2 = _partition_indices(H, W, win, win // 2)
+    perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
+    perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
+
     grid = (B, Tp // G)
-    x_spec = pl.BlockSpec((1, G, H, W, C), lambda b, t: (b, t, 0, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, H, W, C), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, HW, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim, memory_space=pltpu.VMEM)
 
-    operands = [x]
+    operands = [x.reshape(B, Tp, HW, C)]
     specs = [x_spec]
     if has_guid:
-        for g in guid4:
-            operands.append(g.astype(x.dtype))
-            specs.append(g_spec)
+        # pre-permute per-image guidance into each block's window-major order
+        # (one gather per image outside the kernel)
+        for src, pair in ((src1, guid4[:2]), (src2, guid4[2:])):
+            for g in pair:
+                operands.append(g.astype(x.dtype).reshape(B, HW, C)[:, src])
+                specs.append(g_spec)
     operands.append(mask)
     specs.append(const(mask))
+    for a in (perm1, perm2):
+        operands.append(a)
+        specs.append(const(a))
     for p in (p1, p2):
         for a in _flat_params(p, x.dtype):
             operands.append(a)
             specs.append(const(a))
 
-    nW, N = (H // win) * (W // win), win * win
     flops_attn = 2 * B * Tp * nW * heads * 2 * N * C * N  # lane-masked full-width
-    flops_mm = 2 * B * Tp * H * W * C * (3 * C + C + 8 * C)
+    flops_mm = 2 * B * Tp * HW * C * (3 * C + C + 8 * C + 2 * HW)
     out = pl.pallas_call(
-        functools.partial(_kernel, heads=heads, H=H, W=W, win=win, has_guid=has_guid),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, H, W, C), x.dtype),
+        functools.partial(_kernel, heads=heads, HW=HW, nW=nW, N=N, G=G, has_guid=has_guid),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, HW, C), x.dtype),
         grid=grid,
         in_specs=specs,
         out_specs=x_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * (flops_attn + flops_mm),
-            bytes_accessed=2 * B * Tp * H * W * C * x.dtype.itemsize,
-            transcendentals=2 * B * Tp * (nW * heads * N * N + H * W * 4 * C),
+            bytes_accessed=2 * B * Tp * HW * C * x.dtype.itemsize,
+            transcendentals=2 * B * Tp * (nW * heads * N * N + HW * 4 * C),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*operands)
+    out = out.reshape(B, Tp, H, W, C)
     return out[:, :T] if Tp != T else out
 
 
