@@ -345,10 +345,47 @@ def _fwd(x, guid4, p1, p2, mask, heads, win):
     return fused_swin_pair(x, guid4, p1, p2, mask, heads, win), (x, guid4, p1, p2, mask)
 
 
+# class-chunk size for the backward recompute: the XLA reference pair's
+# gradient holds fp32 attention logits/probs for every (slab, window, head)
+# at once (~1 GB per 700 slabs per block) — chunking the class axis keeps
+# the recompute's peak memory flat in T at identical FLOPs
+_BWD_CHUNK = 32
+
+
 def _bwd(heads, win, res, g):
     x, guid4, p1, p2, mask = res
-    _, vjp = jax.vjp(lambda *a: _reference_pair(*a, heads, win), x, guid4, p1, p2, mask)
-    return vjp(g)
+    B, T = x.shape[:2]
+    nc = -(-T // _BWD_CHUNK)
+    Tp = nc * _BWD_CHUNK
+    if Tp != T:
+        pad = [(0, 0)] * x.ndim
+        pad[1] = (0, Tp - T)
+        xp = jnp.pad(x, pad)
+        gp = jnp.pad(g, pad)
+    else:
+        xp, gp = x, g
+    # (nc, B, chunk, H, W, C): scan recomputes + differentiates one class
+    # chunk at a time; guidance/param cotangents accumulate over chunks
+    xc = jnp.moveaxis(xp.reshape(B, nc, _BWD_CHUNK, *x.shape[2:]), 1, 0)
+    gc = jnp.moveaxis(gp.reshape(B, nc, _BWD_CHUNK, *x.shape[2:]), 1, 0)
+
+    def chunk_vjp(xi, gi):
+        _, vjp = jax.vjp(lambda *a: _reference_pair(*a, heads, win), xi, guid4, p1, p2, mask)
+        return vjp(gi)
+
+    def body(carry, xg):
+        xi, gi = xg
+        dx, dguid, dp1, dp2, dmask = chunk_vjp(xi, gi)
+        acc = jax.tree_util.tree_map(jnp.add, carry, (dguid, dp1, dp2, dmask))
+        return acc, dx
+
+    zeros = jax.tree_util.tree_map(
+        jnp.zeros_like,
+        (guid4, p1, p2, mask),
+    )
+    (dguid, dp1, dp2, dmask), dxc = jax.lax.scan(body, zeros, (xc, gc))
+    dx = jnp.moveaxis(dxc, 0, 1).reshape(B, Tp, *x.shape[2:])[:, :T]
+    return dx, dguid, dp1, dp2, dmask
 
 
 fused_swin_pair.defvjp(_fwd, _bwd)
