@@ -201,3 +201,43 @@ def test_fused_class_layer_grad():
     g_fused = jax.grad(lambda x: jnp.sum(A.class_aggregation(x, None, {"class": cp}, cfg) ** 2))(x)
     g_legacy = jax.grad(lambda x: jnp.sum(_legacy_class_path(x, None, cp, cfg) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_legacy), atol=1e-3, rtol=1e-3)
+
+
+def test_fused_swin_pair_grad_multichunk():
+    """Backward chunks the class axis (32/chunk) — cover T spanning chunks."""
+    import jax
+    from catseg_tpu.kernels.swin_block import fused_swin_pair, _reference_pair
+    from catseg_tpu.core.aggregator import _shift_mask
+
+    B, T, H, W, C = 1, 34, 24, 24, 128
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "ln1_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln1_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "qkv_w": jnp.asarray(r.randn(C, 3 * C).astype(np.float32) * 0.05),
+            "qkv_b": jnp.asarray(0.1 * r.randn(3 * C).astype(np.float32)),
+            "proj_w": jnp.asarray(r.randn(C, C).astype(np.float32) * 0.05),
+            "proj_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "ln2_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "fc1_w": jnp.asarray(r.randn(C, 4 * C).astype(np.float32) * 0.05),
+            "fc1_b": jnp.asarray(0.1 * r.randn(4 * C).astype(np.float32)),
+            "fc2_w": jnp.asarray(r.randn(4 * C, C).astype(np.float32) * 0.05),
+            "fc2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+        }
+
+    p1, p2 = mk(8), mk(9)
+    mask = jnp.asarray(_shift_mask(H, W, 12, 6))
+
+    def loss(fn):
+        return lambda x, p1: jnp.sum(fn(x, None, p1, p2, mask, 4, 12) ** 2)
+
+    gx_f, gp_f = jax.grad(loss(fused_swin_pair), argnums=(0, 1))(x, p1)
+    gx_r, gp_r = jax.grad(loss(_reference_pair), argnums=(0, 1))(x, p1)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(gp_f["qkv_w"]), np.asarray(gp_r["qkv_w"]),
+                               atol=5e-3, rtol=5e-4)
