@@ -155,6 +155,154 @@ _P_KEYS = ("ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b",
            "ln2_g", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
 
 
+# ----------------------------------------------------------------- backward
+
+
+def _ln_stats(x32, eps=1e-5):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    return (x32 - mu) * r, r
+
+
+def _ln_bwd(dy32, xhat, r, g):
+    """Given upstream dy (f32), LN stats and scale: (dx, dscale, dbias)."""
+    dyh = dy32 * g
+    m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
+    dx = r * (dyh - m1 - xhat * m2)
+    dg = jnp.sum(dy32 * xhat, axis=0, keepdims=True)
+    db = jnp.sum(dy32, axis=0, keepdims=True)
+    return dx, dg, db
+
+
+def _gelu_grad(h1):
+    """d/dx of exact GELU at f32 h1 (erf via the same approx as forward)."""
+    from .mlp import _erf
+
+    u = h1 * (2.0**-0.5)
+    Phi = 0.5 * (1.0 + _erf(u))
+    phi = jnp.exp(-0.5 * h1 * h1) * 0.3989422804014327  # 1/sqrt(2*pi)
+    return Phi + h1 * phi
+
+
+def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: int):
+    """Analytic backward of one swin block: recompute-in-VMEM forward, then
+    reverse every stage.  x: (G*HW, C) block input; dout: (G*HW, C) cotangent
+    of the block output.  Returns (dx, param-grad dict, dqg, dkg) — parameter
+    and guidance grads as f32, dx in x.dtype."""
+    C = x.shape[-1]
+    scale = (C // heads) ** -0.5
+    f32 = jnp.float32
+    # ---- forward recompute (same rounding as _one_block)
+    xh1, r1 = _ln_stats(x.astype(f32))
+    y1 = (xh1 * p["ln1_g"] + p["ln1_b"]).astype(x.dtype)
+    yp = jnp.concatenate(
+        [jnp.dot(P, y1[g * HW : (g + 1) * HW], preferred_element_type=f32).astype(x.dtype)
+         for g in range(G)], axis=0)
+    qkv = (jnp.dot(yp, p["qkv_w"], preferred_element_type=f32) + p["qkv_b"]).astype(x.dtype)
+    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
+    if qg is not None:
+        q = (q.reshape(G, HW, C) + qg.astype(x.dtype)[None]).reshape(G * HW, C)
+        k = (k.reshape(G, HW, C) + kg.astype(x.dtype)[None]).reshape(G * HW, C)
+    qw = q.reshape(G * nW, N, C)
+    kw = k.reshape(G * nW, N, C)
+    vw = v.reshape(G * nW, N, C)
+    D = C // heads
+    lane = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (heads * N, C), 0)
+    hsel = ((lane >= (row // N) * D) & (lane < (row // N + 1) * D)).astype(x.dtype)
+    Qh = jnp.tile(qw, (1, heads, 1)) * hsel[None]
+    S = jax.lax.dot_general(Qh, kw, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=f32) * scale
+    if mask is not None:
+        mh = jnp.tile(mask, (1, heads, 1))
+        S = S + jnp.tile(mh, (G, 1, 1))
+    mx = jnp.max(S, axis=-1, keepdims=True)
+    e = jnp.exp(S - mx)
+    A32 = e / jnp.sum(e, axis=-1, keepdims=True)
+    A = A32.astype(x.dtype)
+    OF = jax.lax.dot_general(A, vw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32).astype(x.dtype)
+    O = jnp.sum((OF * hsel[None]).reshape(G * nW, heads, N, C), axis=1)
+    o = jnp.concatenate(
+        [jax.lax.dot_general(P, O.reshape(G, HW, C)[g],
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=f32).astype(x.dtype)
+         for g in range(G)], axis=0)
+    outl = jnp.dot(o, p["proj_w"], preferred_element_type=f32) + p["proj_b"]
+    x2 = x + outl.astype(x.dtype)
+    xh2, r2 = _ln_stats(x2.astype(f32))
+    y2 = (xh2 * p["ln2_g"] + p["ln2_b"]).astype(x.dtype)
+    h1 = jnp.dot(y2, p["fc1_w"], preferred_element_type=f32) + p["fc1_b"]
+    hg = _act(h1, "gelu").astype(x.dtype)
+
+    # ---- backward
+    d3 = dout.astype(f32)
+    dc = dout.astype(x.dtype)
+    dfc2_w = jax.lax.dot_general(hg, dc, dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dfc2_b = jnp.sum(d3, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(dc, p["fc2_w"], dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dh1 = dh * _gelu_grad(h1)
+    dh1c = dh1.astype(x.dtype)
+    dfc1_w = jax.lax.dot_general(y2, dh1c, dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dfc1_b = jnp.sum(dh1, axis=0, keepdims=True)
+    dy2 = jax.lax.dot_general(dh1c, p["fc1_w"], dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dx2, dg2, db2 = _ln_bwd(dy2, xh2, r2, p["ln2_g"])
+    dx2 = dx2 + d3
+    dx2c = dx2.astype(x.dtype)
+    dproj_w = jax.lax.dot_general(o, dx2c, dimension_numbers=(((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+    dproj_b = jnp.sum(dx2, axis=0, keepdims=True)
+    do = jax.lax.dot_general(dx2c, p["proj_w"], dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32).astype(x.dtype)
+    dO = jnp.concatenate(
+        [jnp.dot(P, do[g * HW : (g + 1) * HW], preferred_element_type=f32).astype(x.dtype)
+         for g in range(G)], axis=0).reshape(G * nW, N, C)
+    dOF = jnp.tile(dO, (1, heads, 1)) * hsel[None]
+    dA = jax.lax.dot_general(dOF, vw, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=f32)
+    dV = jax.lax.dot_general(A, dOF, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32)
+    dS = A32 * (dA - jnp.sum(dA * A32, axis=-1, keepdims=True))
+    dSc = dS.astype(x.dtype)
+    dQh = jax.lax.dot_general(dSc, kw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=f32) * scale
+    dK = jax.lax.dot_general(dSc, Qh, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=f32) * scale
+    dq = jnp.sum((dQh * hsel[None]).reshape(G * nW, heads, N, C), axis=1)
+    dqr = dq.reshape(G, HW, C)
+    dkr = dK.reshape(G, HW, C)
+    dvr = dV.reshape(G, HW, C)
+    dqg_out = dkg_out = None
+    if qg is not None:
+        dqg_out = jnp.sum(dqr, axis=0)
+        dkg_out = jnp.sum(dkr, axis=0)
+    dqkv = jnp.concatenate(
+        [dqr.reshape(G * HW, C), dkr.reshape(G * HW, C), dvr.reshape(G * HW, C)],
+        axis=-1).astype(x.dtype)
+    dqkv_w = jax.lax.dot_general(yp, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+    dqkv_b = jnp.sum(dqkv.astype(f32), axis=0, keepdims=True)
+    dyp = jax.lax.dot_general(dqkv, p["qkv_w"], dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=f32).astype(x.dtype)
+    dy1 = jnp.concatenate(
+        [jax.lax.dot_general(P, dyp[g * HW : (g + 1) * HW],
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+         for g in range(G)], axis=0)
+    dx0, dg1, db1 = _ln_bwd(dy1, xh1, r1, p["ln1_g"])
+    dx0 = dx0 + dx2
+    grads = {"ln1_g": dg1, "ln1_b": db1, "qkv_w": dqkv_w, "qkv_b": dqkv_b,
+             "proj_w": dproj_w, "proj_b": dproj_b, "ln2_g": dg2, "ln2_b": db2,
+             "fc1_w": dfc1_w, "fc1_b": dfc1_b, "fc2_w": dfc2_w, "fc2_b": dfc2_b}
+    return dx0.astype(x.dtype), grads, dqg_out, dkg_out
+
+
 def _kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: bool):
     it = iter(refs)
     x_ref = next(it)
@@ -199,6 +347,9 @@ def _flat_params(p, dtype):
 _G_OVERRIDE = 2
 # scoped-VMEM ceiling for the kernel (the 16 MB default is conservative)
 _VMEM_LIMIT = 32 * 1024 * 1024
+# class slabs per backward grid step (the backward holds ~3x the forward's
+# live tensors, so it runs narrower)
+_BWD_G = 1
 
 
 def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
@@ -265,6 +416,146 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
     )(*operands)
     out = out.reshape(B, Tp, H, W, C)
     return out[:, :T] if Tp != T else out
+
+
+def _bwd_kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: bool):
+    it = iter(refs)
+    x_ref, g_ref = next(it), next(it)
+    if has_guid:
+        qg1_ref, kg1_ref, qg2_ref, kg2_ref = next(it), next(it), next(it), next(it)
+    mask_ref = next(it)
+    perm1_ref, perm2_ref = next(it), next(it)
+    p1 = {k: next(it) for k in _P_KEYS}
+    p2 = {k: next(it) for k in _P_KEYS}
+    dx_ref = next(it)
+    dguid_refs = [next(it) for _ in range(4)] if has_guid else []
+    dp1_refs = {k: next(it) for k in _P_KEYS}
+    dp2_refs = {k: next(it) for k in _P_KEYS}
+
+    def unflat(p):
+        vals = {k: p[k][:] for k in _P_KEYS}
+        return {k: (v[0] if v.shape[0] == 1 else v) for k, v in vals.items()}
+
+    P1, P2 = unflat(p1), unflat(p2)
+    x = x_ref[0].reshape(G * HW, -1)
+    dx3 = g_ref[0].reshape(G * HW, -1)
+    qg1 = kg1 = qg2 = kg2 = None
+    if has_guid:
+        qg1, kg1 = qg1_ref[0], kg1_ref[0]
+        qg2, kg2 = qg2_ref[0], kg2_ref[0]
+    mask = mask_ref[:]
+    # block1 forward recompute feeds block2's backward
+    x1 = _one_block(x, qg1, kg1, P1, None, perm1_ref[:], heads, G, HW, nW, N)
+    dx2, g2, dqg2, dkg2 = _block_bwd(x1, dx3, qg2, kg2, P2, mask, perm2_ref[:],
+                                     heads, G, HW, nW, N)
+    dx0, g1, dqg1, dkg1 = _block_bwd(x, dx2, qg1, kg1, P1, None, perm1_ref[:],
+                                     heads, G, HW, nW, N)
+    dx_ref[0] = dx0.reshape(G, HW, -1).astype(dx_ref.dtype)
+
+    b, t = pl.program_id(0), pl.program_id(1)
+
+    def accum(ref, val, fst):
+        @pl.when(fst)
+        def _init():
+            ref[...] = val.astype(ref.dtype)
+
+        @pl.when(jnp.logical_not(fst))
+        def _add():
+            ref[...] = ref[...] + val.astype(ref.dtype)
+
+    # param grads: one VMEM-resident block revisited by every grid step
+    first = jnp.logical_and(b == 0, t == 0)
+    for refs_d, grads in ((dp1_refs, g1), (dp2_refs, g2)):
+        for kk in _P_KEYS:
+            accum(refs_d[kk], grads[kk], first)
+    if has_guid:
+        # guidance grads: per-image blocks, accumulated over the class steps
+        ft = t == 0
+        for ref, val in zip(dguid_refs, (dqg1, dkg1, dqg2, dkg2)):
+            accum(ref, val[None], ft)
+
+
+def _pallas_pair_bwd(x, g, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
+    """Analytic backward pass: (dx, dguid4, dp1, dp2)."""
+    B, T, H, W, C = x.shape
+    has_guid = guid4 is not None
+    HW = H * W
+    nW, N = (H // win) * (W // win), win * win
+    G = min(_BWD_G, T)
+    Tp = -(-T // G) * G
+    if Tp != T:
+        pad = jnp.zeros((B, Tp - T, H, W, C), x.dtype)
+        x = jnp.concatenate([x, pad], axis=1)
+        g = jnp.concatenate([g, pad.astype(g.dtype)], axis=1)
+
+    src1 = _partition_indices(H, W, win, 0)
+    src2 = _partition_indices(H, W, win, win // 2)
+    perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
+    perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
+
+    grid = (B, Tp // G)
+    x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, HW, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim, memory_space=pltpu.VMEM)
+
+    operands = [x.reshape(B, Tp, HW, C), g.reshape(B, Tp, HW, C).astype(x.dtype)]
+    specs = [x_spec, x_spec]
+    if has_guid:
+        for src, pair in ((src1, guid4[:2]), (src2, guid4[2:])):
+            for gg in pair:
+                operands.append(gg.astype(x.dtype).reshape(B, HW, C)[:, src])
+                specs.append(g_spec)
+    operands.append(mask)
+    specs.append(const(mask))
+    for a in (perm1, perm2):
+        operands.append(a)
+        specs.append(const(a))
+    flat1, flat2 = _flat_params(p1, x.dtype), _flat_params(p2, x.dtype)
+    for fl in (flat1, flat2):
+        for a in fl:
+            operands.append(a)
+            specs.append(const(a))
+
+    out_shapes = [jax.ShapeDtypeStruct((B, Tp, HW, C), x.dtype)]
+    out_specs = [x_spec]
+    if has_guid:
+        for _ in range(4):
+            out_shapes.append(jax.ShapeDtypeStruct((B, HW, C), jnp.float32))
+            out_specs.append(g_spec)
+    for fl in (flat1, flat2):
+        for a in fl:
+            out_shapes.append(jax.ShapeDtypeStruct(a.shape, jnp.float32))
+            out_specs.append(const(a))
+
+    res = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, HW=HW, nW=nW, N=N, G=G, has_guid=has_guid),
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*operands)
+
+    it = iter(res)
+    dx = next(it).reshape(B, Tp, H, W, C)[:, :T]
+    dguid = None
+    if has_guid:
+        dg_list = []
+        for src, gg in zip((src1, src1, src2, src2), guid4):
+            inv = np.argsort(src)
+            dg_list.append(next(it)[:, inv].reshape(gg.shape).astype(gg.dtype))
+        dguid = tuple(dg_list)
+
+    def undo_flat(p, vals):
+        out = {}
+        for k, v in zip(_P_KEYS, vals):
+            out[k] = v.reshape(p[k].shape).astype(p[k].dtype)
+        return out
+
+    dp1 = undo_flat(p1, [next(it) for _ in _P_KEYS])
+    dp2 = undo_flat(p2, [next(it) for _ in _P_KEYS])
+    return dx, dguid, dp1, dp2
 
 
 def _reference_pair(x, guid4, p1, p2, mask, heads: int, win: int):
@@ -345,14 +636,24 @@ def _fwd(x, guid4, p1, p2, mask, heads, win):
     return fused_swin_pair(x, guid4, p1, p2, mask, heads, win), (x, guid4, p1, p2, mask)
 
 
-# class-chunk size for the backward recompute: the XLA reference pair's
-# gradient holds fp32 attention logits/probs for every (slab, window, head)
-# at once (~1 GB per 700 slabs per block) — chunking the class axis keeps
-# the recompute's peak memory flat in T at identical FLOPs
-_BWD_CHUNK = 32
+# class-chunk size for the XLA-fallback backward recompute: the reference
+# pair's gradient holds fp32 attention logits/probs for every (slab, window,
+# head) at once (~1 GB per 700 slabs per block) — chunking the class axis
+# keeps the recompute's peak memory flat in T at identical FLOPs
+_BWD_CHUNK = 16
 
 
 def _bwd(heads, win, res, g):
+    x, guid4, p1, p2, mask = res
+    backend = jax.default_backend()
+    if backend in ("tpu", "cpu"):
+        dx, dguid, dp1, dp2 = _pallas_pair_bwd(
+            x, g, guid4, p1, p2, mask, heads, win, interpret=(backend == "cpu"))
+        return dx, dguid, dp1, dp2, jnp.zeros_like(mask)
+    return _bwd_xla(heads, win, res, g)
+
+
+def _bwd_xla(heads, win, res, g):
     x, guid4, p1, p2, mask = res
     B, T = x.shape[:2]
     nc = -(-T // _BWD_CHUNK)

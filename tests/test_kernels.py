@@ -241,3 +241,48 @@ def test_fused_swin_pair_grad_multichunk():
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(gp_f["qkv_w"]), np.asarray(gp_r["qkv_w"]),
                                atol=5e-3, rtol=5e-4)
+
+
+def test_fused_swin_pair_guidance_grad():
+    """Analytic backward must produce guidance cotangents matching XLA."""
+    import jax
+    from catseg_tpu.kernels.swin_block import fused_swin_pair, _reference_pair
+    from catseg_tpu.core.aggregator import _shift_mask
+
+    B, T, H, W, C = 2, 3, 24, 24, 128
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+    guid4 = tuple(
+        jnp.asarray(rng.randn(B, H, W, C).astype(np.float32) * 0.1) for _ in range(4)
+    )
+
+    def mk(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "ln1_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln1_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "qkv_w": jnp.asarray(r.randn(C, 3 * C).astype(np.float32) * 0.05),
+            "qkv_b": jnp.asarray(0.1 * r.randn(3 * C).astype(np.float32)),
+            "proj_w": jnp.asarray(r.randn(C, C).astype(np.float32) * 0.05),
+            "proj_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "ln2_g": jnp.asarray(1 + 0.1 * r.randn(C).astype(np.float32)),
+            "ln2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+            "fc1_w": jnp.asarray(r.randn(C, 4 * C).astype(np.float32) * 0.05),
+            "fc1_b": jnp.asarray(0.1 * r.randn(4 * C).astype(np.float32)),
+            "fc2_w": jnp.asarray(r.randn(4 * C, C).astype(np.float32) * 0.05),
+            "fc2_b": jnp.asarray(0.1 * r.randn(C).astype(np.float32)),
+        }
+
+    p1, p2 = mk(12), mk(13)
+    mask = jnp.asarray(_shift_mask(H, W, 12, 6))
+
+    def loss(fn):
+        return lambda x, g4, p2_: jnp.sum(fn(x, g4, p1, p2_, mask, 4, 12) ** 2)
+
+    gx_f, gg_f, gp2_f = jax.grad(loss(fused_swin_pair), argnums=(0, 1, 2))(x, guid4, p2)
+    gx_r, gg_r, gp2_r = jax.grad(loss(_reference_pair), argnums=(0, 1, 2))(x, guid4, p2)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=5e-4, rtol=5e-4)
+    for a, b in zip(gg_f, gg_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(gp2_f["fc2_w"]), np.asarray(gp2_r["fc2_w"]),
+                               atol=5e-3, rtol=5e-4)
