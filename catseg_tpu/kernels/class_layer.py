@@ -134,6 +134,275 @@ def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
     return kv * bd, (K * n_pad).reshape(1, C)
 
 
+# ----------------------------------------------------------------- backward
+
+
+def _elu1_grad(x):
+    return jnp.where(x > 0, 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+
+
+def _ln_fwd(x32, g, b):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + 1e-5)
+    xh = (x32 - mu) * r
+    return xh * g + b, xh, r
+
+
+def _ln_bwd(dy32, xh, r, g):
+    dyh = dy32 * g
+    m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyh * xh, axis=-1, keepdims=True)
+    dx = r * (dyh - m1 - xh * m2)
+    dg = jnp.sum(dy32 * xh, axis=0, keepdims=True)
+    db = jnp.sum(dy32, axis=0, keepdims=True)
+    return dx, dg, db
+
+
+def _bwd_kernel(x_ref, g_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
+                ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
+                ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
+                dx_ref, dqg_ref, dkg_ref, dpadkv_ref, dpadks_ref,
+                dln1g_ref, dln1b_ref, dqkvw_ref, dqkvb_ref,
+                dln2g_ref, dln2b_ref, dm1w_ref, dm1b_ref, dm2w_ref, dm2b_ref,
+                *, heads: int, Tp: int, has_guid: bool):
+    """Analytic backward: forward recompute in VMEM, then reverse every
+    stage.  Same grid/layout as the forward kernel (one image row per step);
+    parameter/pad/guidance grads accumulate across steps in VMEM blocks."""
+    T, W, C = x_ref.shape[1], x_ref.shape[3], x_ref.shape[4]
+    D = C // heads
+    f32 = jnp.float32
+    bd = _blockdiag(C, D, f32)
+
+    x3 = x_ref[0, :, 0]
+    x = x3.reshape(T * W, C)
+    dout = g_ref[0, :, 0].reshape(T * W, C)
+    x32 = x.astype(f32)
+    y1f, xh1, r1 = _ln_fwd(x32, ln1g_ref[0], ln1b_ref[0])
+    y = y1f.astype(x.dtype)
+    qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=f32) + qkvb_ref[0]
+    qkv3 = qkv.reshape(T, W, 3 * C)
+    padkv = padkv_ref[:]
+    padks = padks_ref[:]
+    if has_guid:
+        qgv = qg_ref[0].astype(f32)
+        kgv = kg_ref[0].astype(f32)
+
+    attn_cols = []
+    bwd_cols = []  # (dq, dk, dv) per position, f32 (T, C)
+    d_padkv = jnp.zeros((C, C), f32)
+    d_padks = jnp.zeros((1, C), f32)
+    # ---- forward attention per position (recompute; save nothing to HBM)
+    per_pos = []
+    for w in range(W):
+        blk = qkv3[:, w, :]
+        q = blk[:, :C]
+        k = blk[:, C : 2 * C]
+        v = blk[:, 2 * C :]
+        if has_guid:
+            q = q + qgv
+            k = k + kgv
+        Q = _elu1(q)
+        K = _elu1(k)
+        Vs = v / Tp
+        kv = jax.lax.dot_general(K, Vs, dimension_numbers=(((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+        kv_used = kv * bd + padkv
+        ksum = jax.lax.dot_general(jnp.ones((1, T), f32), K,
+                                   dimension_numbers=(((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32) + padks
+        z = jnp.dot(Q * ksum, bd, preferred_element_type=f32)
+        P = jnp.dot(Q, kv_used, preferred_element_type=f32)
+        r = Tp / (z + _EPS)
+        attn_cols.append(P * r)
+        per_pos.append((q, k, Q, K, Vs, kv_used, ksum, z, P, r))
+    attn_all = jnp.stack(attn_cols, axis=1).reshape(T * W, C)
+    seq32 = x32 + attn_all
+    seq = seq32.astype(x.dtype)
+    y2f, xh2, r2 = _ln_fwd(seq32, ln2g_ref[0], ln2b_ref[0])
+    y2 = y2f.astype(x.dtype)
+    h1 = jnp.dot(y2, m1w_ref[:], preferred_element_type=f32) + m1b_ref[0]
+    hg = jnp.maximum(h1, 0.0).astype(x.dtype)
+
+    # ---- backward MLP + LN2
+    d3 = dout.astype(f32)
+    dc = dout.astype(x.dtype)
+    dm2w = jax.lax.dot_general(hg, dc, dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    dm2b = jnp.sum(d3, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(dc, m2w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dh1 = dh * (h1 > 0)
+    dh1c = dh1.astype(x.dtype)
+    dm1w = jax.lax.dot_general(y2, dh1c, dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+    dm1b = jnp.sum(dh1, axis=0, keepdims=True)
+    dy2 = jax.lax.dot_general(dh1c, m1w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dseq, dln2g, dln2b = _ln_bwd(dy2, xh2, r2, ln2g_ref[0])
+    dseq = dseq + d3
+    dattn3 = dseq.reshape(T, W, C)
+
+    # ---- backward attention per position
+    for w in range(W):
+        q, k, Q, K, Vs, kv_used, ksum, z, P, r = per_pos[w]
+        dattn = dattn3[:, w, :]
+        dP = dattn * r
+        dzt = -(dattn * P) * (r / (z + _EPS))  # P*r/(z+eps) per lane
+        du = jnp.dot(dzt, bd, preferred_element_type=f32)
+        dQ = du * ksum + jax.lax.dot_general(dP, kv_used,
+                                             dimension_numbers=(((1,), (1,)), ((), ())),
+                                             preferred_element_type=f32)
+        dksum = jax.lax.dot_general(jnp.ones((1, T), f32), du * Q,
+                                    dimension_numbers=(((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+        dkv_used = jax.lax.dot_general(Q, dP, dimension_numbers=(((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+        d_padkv = d_padkv + dkv_used
+        d_padks = d_padks + dksum
+        dkv_raw = dkv_used * bd
+        dK = jax.lax.dot_general(Vs, dkv_raw, dimension_numbers=(((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32) + jnp.broadcast_to(dksum, (T, C))
+        dVs = jnp.dot(K, dkv_raw, preferred_element_type=f32)
+        dq = dQ * _elu1_grad(q)
+        dk = dK * _elu1_grad(k)
+        dv = dVs / Tp
+        bwd_cols.append((dq, dk, dv))
+
+    dqkv3 = jnp.stack([jnp.concatenate(c, axis=-1) for c in bwd_cols], axis=1)  # (T, W, 3C)
+    if has_guid:
+        ones_w = jnp.ones((1, W), f32)
+        dqg = jax.lax.dot_general(dqkv3[:, :, :C], ones_w,
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32).reshape(T, C)
+        dkg = jax.lax.dot_general(dqkv3[:, :, C : 2 * C], ones_w,
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32).reshape(T, C)
+    dqkv = dqkv3.reshape(T * W, 3 * C)
+    dqkvc = dqkv.astype(x.dtype)
+    dqkvw = jax.lax.dot_general(y, dqkvc, dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+    dqkvb = jnp.sum(dqkv, axis=0, keepdims=True)
+    dy1 = jax.lax.dot_general(dqkvc, qkvw_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dx0, dln1g, dln1b = _ln_bwd(dy1, xh1, r1, ln1g_ref[0])
+    dx0 = dx0 + dseq
+    dx_ref[0, :, 0] = dx0.reshape(T, W, C).astype(dx_ref.dtype)
+
+    b, h = pl.program_id(0), pl.program_id(1)
+
+    def accum(ref, val, fst):
+        @pl.when(fst)
+        def _init():
+            ref[...] = val.astype(ref.dtype)
+
+        @pl.when(jnp.logical_not(fst))
+        def _add():
+            ref[...] = ref[...] + val.astype(ref.dtype)
+
+    first = jnp.logical_and(b == 0, h == 0)
+    for ref, val in ((dpadkv_ref, d_padkv), (dpadks_ref, d_padks),
+                     (dln1g_ref, dln1g), (dln1b_ref, dln1b),
+                     (dqkvw_ref, dqkvw), (dqkvb_ref, dqkvb),
+                     (dln2g_ref, dln2g), (dln2b_ref, dln2b),
+                     (dm1w_ref, dm1w), (dm1b_ref, dm1b),
+                     (dm2w_ref, dm2w), (dm2b_ref, dm2b)):
+        accum(ref, val, first)
+    if has_guid:
+        ft = h == 0
+        accum(dqg_ref, dqg[None], ft)
+        accum(dkg_ref, dkg[None], ft)
+
+
+def _pallas_bwd(x, g, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool):
+    B, T, H, W, C = x.shape
+    has_guid = qg is not None
+    dt = x.dtype
+
+    def v2(a, cast=None):
+        a = a.astype(cast or dt)
+        return a.reshape(1, -1) if a.ndim == 1 else a
+
+    qkv_w = jnp.concatenate([p["q_w"][:C], p["k_w"][:C], p["v_w"]], axis=1).astype(dt)
+    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]]).astype(jnp.float32).reshape(1, -1)
+    zerog = jnp.zeros((B, T, C), dt)
+    operands = [
+        x, g.astype(dt),
+        (qg.astype(dt) if has_guid else zerog),
+        (kg.astype(dt) if has_guid else zerog),
+        pad_kv.astype(jnp.float32),
+        pad_ksum.astype(jnp.float32).reshape(1, C),
+        v2(p["ln1_g"], jnp.float32), v2(p["ln1_b"], jnp.float32),
+        qkv_w, qkv_b,
+        v2(p["ln2_g"], jnp.float32), v2(p["ln2_b"], jnp.float32),
+        v2(p["mlp1_w"]), v2(p["mlp1_b"], jnp.float32),
+        v2(p["mlp2_w"]), v2(p["mlp2_b"], jnp.float32),
+    ]
+    x_spec = pl.BlockSpec((1, T, 1, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, T, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, h: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    specs = [x_spec, x_spec, g_spec, g_spec] + [const(a) for a in operands[4:]]
+
+    Cmlp = p["mlp1_w"].shape[1]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, T, H, W, C), dt),            # dx
+        jax.ShapeDtypeStruct((B, T, C), jnp.float32),         # dqg
+        jax.ShapeDtypeStruct((B, T, C), jnp.float32),         # dkg
+        jax.ShapeDtypeStruct((C, C), jnp.float32),            # dpad_kv
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dpad_ksum
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dln1_g
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dln1_b
+        jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),        # dqkv_w
+        jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),        # dqkv_b
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dln2_g
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dln2_b
+        jax.ShapeDtypeStruct((C, Cmlp), jnp.float32),         # dmlp1_w
+        jax.ShapeDtypeStruct((1, Cmlp), jnp.float32),         # dmlp1_b
+        jax.ShapeDtypeStruct((Cmlp, C), jnp.float32),         # dmlp2_w
+        jax.ShapeDtypeStruct((1, C), jnp.float32),            # dmlp2_b
+    ]
+    out_specs = [x_spec, g_spec, g_spec] + [const(a) for a in out_shapes[3:]]
+
+    res = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, Tp=Tp, has_guid=has_guid),
+        out_shape=tuple(out_shapes),
+        grid=(B, H),
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(*operands)
+
+    (dx, dqg, dkg, dpad_kv, dpad_ksum, dln1g, dln1b, dqkvw, dqkvb,
+     dln2g, dln2b, dm1w, dm1b, dm2w, dm2b) = res
+
+    Cg = p["q_w"].shape[0] - C
+    zg = jnp.zeros((Cg, C), p["q_w"].dtype)
+    dp = {
+        "ln1_g": dln1g.reshape(-1).astype(p["ln1_g"].dtype),
+        "ln1_b": dln1b.reshape(-1).astype(p["ln1_b"].dtype),
+        # q_w/k_w guidance rows ([C:]) feed qg/kg OUTSIDE this vjp boundary;
+        # their cotangent flows through dqg/dkg in the caller's autodiff
+        "q_w": jnp.concatenate([dqkvw[:, :C].astype(p["q_w"].dtype), zg], axis=0),
+        "q_b": dqkvb[0, :C].astype(p["q_b"].dtype),
+        "k_w": jnp.concatenate([dqkvw[:, C : 2 * C].astype(p["k_w"].dtype), zg], axis=0),
+        "k_b": dqkvb[0, C : 2 * C].astype(p["k_b"].dtype),
+        "v_w": dqkvw[:, 2 * C :].astype(p["v_w"].dtype),
+        "v_b": dqkvb[0, 2 * C :].astype(p["v_b"].dtype),
+        "ln2_g": dln2g.reshape(-1).astype(p["ln2_g"].dtype),
+        "ln2_b": dln2b.reshape(-1).astype(p["ln2_b"].dtype),
+        "mlp1_w": dm1w.astype(p["mlp1_w"].dtype),
+        "mlp1_b": dm1b.reshape(-1).astype(p["mlp1_b"].dtype),
+        "mlp2_w": dm2w.astype(p["mlp2_w"].dtype),
+        "mlp2_b": dm2b.reshape(-1).astype(p["mlp2_b"].dtype),
+    }
+    dqg_out = dqg.astype(qg.dtype) if has_guid else None
+    dkg_out = dkg.astype(kg.dtype) if has_guid else None
+    return (dx, dqg_out, dkg_out,
+            dpad_kv.astype(pad_kv.dtype),
+            dpad_ksum.reshape(pad_ksum.shape).astype(pad_ksum.dtype), dp)
+
+
 def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     """Plain-XLA math identical to the kernel (fallback + VJP recompute).
 
@@ -251,6 +520,10 @@ def _fwd(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp):
 
 def _bwd(heads, Tp, res, g):
     x, qg, kg, pad_kv, pad_ksum, p = res
+    backend = jax.default_backend()
+    if backend in ("tpu", "cpu"):
+        return _pallas_bwd(x, g, qg, kg, pad_kv, pad_ksum, p, heads, Tp,
+                           interpret=(backend == "cpu"))
 
     def ref(x, qg, kg, pad_kv, pad_ksum, p):
         B, T, H, W, C = x.shape

@@ -286,3 +286,35 @@ def test_fused_swin_pair_guidance_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
     np.testing.assert_allclose(np.asarray(gp2_f["fc2_w"]), np.asarray(gp2_r["fc2_w"]),
                                atol=5e-3, rtol=5e-4)
+
+
+def test_fused_class_layer_guidance_param_grads():
+    """Analytic class-layer backward: guidance, param, and pad-token
+    cotangents must match the legacy XLA path (pad rows enter the fused
+    kernel only through pad_kv/pad_ksum, so this covers that chain too)."""
+    import jax
+    from catseg_tpu.configs import CATSegConfig
+    from catseg_tpu.core import aggregator as A
+
+    B, T, H, W, C, Cg = 1, 5, 8, 8, 128, 48
+    cfg = CATSegConfig(hidden_dim=C, num_heads=4, pad_len=8, pooling_size=(1, 1),
+                       attention_type="linear", feature_resolution=(H, W),
+                       text_guidance_proj_dim=Cg, compute_dtype="float32")
+    cp = _class_layer_params(jax.random.PRNGKey(3), C, Cg)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.2)
+    tg = jnp.asarray(rng.randn(B, T, Cg).astype(np.float32) * 0.2)
+
+    def loss(fn):
+        return lambda x, tg, cp_: jnp.sum(fn(x, tg, cp_) ** 2)
+
+    fused = lambda x, tg, cp_: A.class_aggregation(x, tg, {"class": cp_}, cfg)
+    legacy = lambda x, tg, cp_: _legacy_class_path(x, tg, cp_, cfg)
+    gx_f, gt_f, gp_f = jax.grad(loss(fused), argnums=(0, 1, 2))(x, tg, cp)
+    gx_r, gt_r, gp_r = jax.grad(loss(legacy), argnums=(0, 1, 2))(x, tg, cp)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r), atol=1e-3, rtol=1e-3)
+    for key in ("mlp1_w", "padding_tokens", "q_w", "v_b"):
+        np.testing.assert_allclose(
+            np.asarray(gp_f[key]), np.asarray(gp_r[key]), atol=2e-3, rtol=1e-3,
+            err_msg=key)
