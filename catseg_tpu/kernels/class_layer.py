@@ -484,6 +484,10 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
             bytes_accessed=2 * B * T * H * W * C * dt.itemsize,
             transcendentals=B * H * W * T * 2 * C,
         ),
+        # at the pad_len=256 class count (ADE-847/PC-459 truncated path) the
+        # row slab needs 22 MB of scoped VMEM; the 16 MB default is
+        # conservative, physical VMEM is far larger
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(*operands)
 
 
