@@ -36,6 +36,10 @@ def load_params(path: str | None, cfg: CATSegConfig, seed: int = 0):
     import jax
 
     if path is None:
+        if cfg.fusion is not None:
+            from ..core.fusion import init_fusion_params
+
+            return init_fusion_params(jax.random.PRNGKey(seed), cfg)
         from ..core.catseg import init_catseg_params
 
         return init_catseg_params(jax.random.PRNGKey(seed), cfg)

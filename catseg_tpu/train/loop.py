@@ -33,7 +33,13 @@ class TrainState:
 
 
 def init_train_state(rng, cfg: CATSegConfig, params=None) -> tuple[TrainState, optax.GradientTransformation]:
-    params = params if params is not None else catseg.init_catseg_params(rng, cfg)
+    if params is None:
+        if cfg.fusion is not None:
+            from ..core.fusion import init_fusion_params
+
+            params = init_fusion_params(rng, cfg)
+        else:
+            params = catseg.init_catseg_params(rng, cfg)
     tx = build_optimizer(cfg, params)
     return TrainState(params=params, opt_state=tx.init(params)), tx
 
@@ -51,7 +57,14 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
             emb = encode_text(params["clip"], tokens, cfg.clip, compute_dtype=dtype)
             emb = emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True).astype(emb.dtype)
             text_feats = emb[:, None, :]  # (T, P=1, E)
-            logits = catseg.forward(params, images, text_feats, cfg)
+            if cfg.fusion is not None:
+                # dual-encoder family (ablation_train_eval31.sh trains
+                # ImplicitFusionCATSegVer31 with the same BCE recipe)
+                from ..core.fusion import fusion_forward
+
+                logits = fusion_forward(params, images, text_feats, cfg)
+            else:
+                logits = catseg.forward(params, images, text_feats, cfg)
             return catseg.bce_loss(logits, targets, cfg.ignore_value, targets.shape[1:3])
 
     def step(params, opt_state, images, targets):

@@ -20,6 +20,10 @@ from ..configs import CATSegConfig
 
 def _label_for_path(path: tuple, clip_finetune: str) -> str:
     keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+    if keys and keys[0] in ("dino", "sam"):
+        # second encoders are frozen in every fusion variant
+        # (BuildDINO: implicit_fusion_Ver31.py:23-51; SAM likewise)
+        return "frozen"
     if not keys or keys[0] != "clip":
         return "main"
     inside_transformer = "blocks" in keys

@@ -100,3 +100,40 @@ def test_fusion_topk_scatter():
     out = np.asarray(fusion.fusion_forward(params, jnp.asarray(imgs), jnp.asarray(text), cfg))
     assert out.shape == (1, 11, 32, 32)
     assert ((out == -100.0).all(axis=(2, 3))).sum() == 11 - 6
+
+
+def test_fusion_train_step_freezes_second_encoder():
+    """Fusion configs train through the same loop (ablation_train_eval31.sh
+    semantics): step runs, loss is finite, DINO/second-encoder params do not
+    move, aggregator params do."""
+    from catseg_tpu.configs import FusionConfig
+    from catseg_tpu.core import fusion
+    from catseg_tpu.train.loop import init_train_state, make_train_step
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    cfg = mini_cfg(
+        fusion=FusionConfig(encoder="mini_dino", encoder_resolution=128,
+                            clip_resolution=128, guidance_blocks=(0, 1)),
+        text_guidance_dim=0,
+    )
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert "dino" in state.params
+    T = 5
+    # mini text encoder has context=16 (and vocab 100): synthesize token ids
+    rng_t = np.random.RandomState(1)
+    tokens = rng_t.randint(1, 99, (T, cfg.clip.context)).astype(np.int32)
+    step = make_train_step(cfg, tx, tokens)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (2, 128, 128, 3)).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, T, (2, 128, 128)).astype(np.int32))
+    # the step donates its inputs: snapshot host copies first
+    dino_before = jax.tree_util.tree_map(np.asarray, state.params["dino"])
+    agg_w_before = np.asarray(state.params["agg"]["conv1"]["w"])
+    params, opt_state, loss = step(state.params, state.opt_state, images, targets)
+    assert np.isfinite(float(loss))
+    jax.tree_util.tree_map(
+        lambda b, a: np.testing.assert_array_equal(b, np.asarray(a)),
+        dino_before, params["dino"])
+    moved = np.abs(np.asarray(params["agg"]["conv1"]["w"]) - agg_w_before).max()
+    assert moved > 0
