@@ -121,16 +121,19 @@ def fusion_aggregator_forward(
     return logits
 
 
-def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig) -> jnp.ndarray:
+def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig,
+                   normalized: bool = False) -> jnp.ndarray:
     """Full dual-encoder forward (implicit_fusion_Ver31.py:195-374).
 
-    images: (B, H, W, 3) raw RGB.  The DINO input is derived from the
-    CLIP-normalized, CLIP-resolution image exactly as the reference's
-    sliding-window branch does (implicit_fusion_Ver31.py:259-260).
+    images: (B, H, W, 3) raw RGB (or CLIP-normalized when ``normalized``,
+    for the static-canvas eval path that pads after normalization).  The
+    DINO input is derived from the CLIP-normalized, CLIP-resolution image
+    exactly as the reference's sliding-window branch does
+    (implicit_fusion_Ver31.py:259-260).
     """
     fus = cfg.fusion
     dtype = jnp.dtype(cfg.compute_dtype)
-    clip_images = normalize_clip(images)
+    clip_images = images if normalized else normalize_clip(images)
     clip_images = resize_bilinear(clip_images, (fus.clip_resolution, fus.clip_resolution))
     dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
 

@@ -33,6 +33,15 @@ from ..text.embed import forward_text_embeds
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _model_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig) -> jnp.ndarray:
+    """Meta-architecture dispatch: plain CATSeg or the dual-encoder family."""
+    if cfg.fusion is not None:
+        from ..core.fusion import fusion_forward
+
+        return fusion_forward(params, images, text_feats, cfg)
+    return catseg.forward(params, images, text_feats, cfg)
+
+
 def sliding_window_probs(
     params: dict,
     image640: jnp.ndarray,
@@ -44,7 +53,7 @@ def sliding_window_probs(
     k, s, out = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
     tiles = unfold_tiles(image640[None], k, s)  # (4, 384, 384, 3)
     batch = jnp.concatenate([tiles, image_global[None]], axis=0)  # (5, ...)
-    logits = catseg.forward(params, batch, text_feats, cfg)  # (5, T, 96, 96)
+    logits = _model_forward(params, batch, text_feats, cfg)  # (5, T, 96, 96)
     logits = logits.transpose(0, 2, 3, 1)  # (5, 96, 96, T)
     logits = resize_bilinear(logits, (k, k))
     probs = jax.nn.sigmoid(logits.astype(jnp.float32))
@@ -116,6 +125,11 @@ def whole_image_probs_from_canvas(
     wwr = bilinear_row_weights_dynamic(R, pw, Wc)
     img = jnp.einsum("hwc,Hh->Hwc", img, whr)
     img = jnp.einsum("Hwc,Ww->HWc", img, wwr)
+    if cfg.fusion is not None:
+        from ..core.fusion import fusion_forward
+
+        logits = fusion_forward(params, img[None], text_feats, cfg, normalized=True)[0]
+        return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
     from ..core.catseg import clip_guidance_features
     from ..core.aggregator import aggregator_forward
 
@@ -146,7 +160,7 @@ def whole_image_probs(
 ) -> jnp.ndarray:
     """(H, W, 3) raw RGB (H, W static) -> (96, 96, T) sigmoid probabilities
     (whole-image branch, cat_seg_model.py:147-155,220-229)."""
-    logits = catseg.forward(params, image[None], text_feats, cfg)[0]
+    logits = _model_forward(params, image[None], text_feats, cfg)[0]
     return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
 
 

@@ -137,3 +137,31 @@ def test_fusion_train_step_freezes_second_encoder():
         dino_before, params["dino"])
     moved = np.abs(np.asarray(params["agg"]["conv1"]["w"]) - agg_w_before).max()
     assert moved > 0
+
+
+def test_fusion_whole_image_canvas_path():
+    """The static-canvas whole-image eval path dispatches to the fusion
+    forward (normalized input branch) and matches the raw forward."""
+    from catseg_tpu.configs import FusionConfig
+    from catseg_tpu.core import fusion
+    from catseg_tpu.infer.pipeline import whole_image_probs_from_canvas
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    cfg = mini_cfg(
+        fusion=FusionConfig(encoder="mini_dino", encoder_resolution=128,
+                            clip_resolution=128, guidance_blocks=(0, 1)),
+        text_guidance_dim=0,
+        crop_size=128,  # SIZE_DIVISIBILITY == canvas -> resize is identity
+    )
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 128, 3)).astype(np.float32)
+    text = jnp.asarray(rng.randn(7, 1, 48).astype(np.float32))
+
+    got = whole_image_probs_from_canvas(
+        params, jnp.asarray(img), jnp.asarray([128, 128], np.int32), text, cfg)
+    want = jax.nn.sigmoid(
+        fusion.fusion_forward(params, jnp.asarray(img)[None], text, cfg)[0].astype(jnp.float32)
+    ).transpose(1, 2, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
