@@ -66,14 +66,14 @@ def main():
     # tenants
     n = 16
     best = 0.0
-    deadline = time.time() + 150.0
-    for r in range(12):
+    deadline = time.time() + 75.0
+    for r in range(8):
         t0 = time.time()
         for i in range(n):
             pred = run_one(i)
         sync(pred)  # device executes in order: the last sync drains the queue
         best = max(best, n / (time.time() - t0))
-        if time.time() > deadline and r >= 4:
+        if time.time() > deadline and r >= 2:
             break
     ims = best
 
