@@ -38,11 +38,13 @@ def evaluate_benchmark(
     dump_visuals: int = 0,
     visuals_dir: str = "eval_visuals",
     dump_predictions: str | None = None,
+    tta: bool = False,
 ) -> dict:
     """Run one eval.sh benchmark; returns the metrics dict (+ images/sec).
 
     sliding=False uses the whole-image branch (the reference's
-    train-time-eval / demo default, cat_seg_model.py:147-155)."""
+    train-time-eval / demo default, cat_seg_model.py:147-155); tta applies
+    hflip probability averaging (SemanticSegmentorWithTTA)."""
     cfg = eval_preset(cfg) if sliding else cfg.replace(sliding_window=False)
     spec = get_dataset(benchmark)
     class_names = load_class_names(spec.class_json)
@@ -75,6 +77,10 @@ def evaluate_benchmark(
 
     in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
     predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
+    if tta:
+        from ..infer.tta import TTAPredictor
+
+        predictor = TTAPredictor(predictor)
 
     acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
                                clamp_background=spec.evaluator == "sem_seg_background")

@@ -25,6 +25,12 @@ class TTAPredictor:
         p_flip = self.predictor.probs_sliding(np.ascontiguousarray(image[:, ::-1]))
         return (p + p_flip[:, ::-1]) / 2.0
 
+    def probs(self, image: np.ndarray) -> jnp.ndarray:
+        """Branch-agnostic flip-averaged probabilities (eval harness entry)."""
+        p = self.predictor.probs(image)
+        p_flip = self.predictor.probs(np.ascontiguousarray(image[:, ::-1]))
+        return (p + p_flip[:, ::-1]) / 2.0
+
     def predict(self, image: np.ndarray, out_hw=None) -> dict:
         base = self.predictor.predict(image, out_hw)
         flipped = self.predictor.predict(np.ascontiguousarray(image[:, ::-1]), out_hw)

@@ -31,6 +31,7 @@ def main(argv=None):
     ap.add_argument("--dump-predictions", default=None, help="COCO-RLE predictions json")
     ap.add_argument("--seen-indexes", default=None, help="json list for gzero seen/unseen split")
     ap.add_argument("--unseen-indexes", default=None)
+    ap.add_argument("--tta", action="store_true", help="hflip TTA (test_with_TTA)")
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
 
@@ -42,7 +43,7 @@ def main(argv=None):
         bench = bench.strip()
         m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
                                sliding=not args.whole_image, dump_visuals=args.dump_visuals,
-                               dump_predictions=args.dump_predictions)
+                               dump_predictions=args.dump_predictions, tta=args.tta)
         if args.seen_indexes and args.unseen_indexes:
             # gzero: seen/unseen/harmonic IoU split (plain_train_net.py:48-228)
             from ..evaluation.miou import gzero_metrics

@@ -232,3 +232,35 @@ def test_event_writer(tmp_path):
     rec = _json.loads(lines[0])
     assert rec["iteration"] == 1 and rec["loss_sem_seg"] == 0.5
     assert (tmp_path / "log.txt").exists()
+
+
+def test_tta_probs_flip_consistency():
+    """TTAPredictor.probs averages hflip probabilities: on a horizontally
+    symmetric image the TTA output must itself be symmetric, and TTA of any
+    image must equal manual flip-averaging of the base predictor."""
+    import jax
+    from catseg_tpu.core import catseg
+    from catseg_tpu.infer.pipeline import Predictor
+    from catseg_tpu.infer.tta import TTAPredictor
+    from test_catseg_model import mini_cfg
+
+    cfg = mini_cfg().replace(sliding_window=False)
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    T = 5
+    text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    pred = Predictor(params, cfg, [f"c{i}" for i in range(T)], text_feats=text,
+                     input_canvas=(128, 128))
+    tta = TTAPredictor(pred)
+    img = rng.randint(0, 255, (128, 128, 3), dtype=np.uint8)
+
+    base = np.asarray(pred.probs(img))
+    base_f = np.asarray(pred.probs(np.ascontiguousarray(img[:, ::-1])))
+    want = (base + base_f[:, ::-1]) / 2.0
+    got = np.asarray(tta.probs(img))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    sym = np.concatenate([img[:, :64], img[:, :64][:, ::-1]], axis=1)
+    p_sym = np.asarray(tta.probs(np.ascontiguousarray(sym)))
+    np.testing.assert_allclose(p_sym, p_sym[:, ::-1], atol=1e-5)
