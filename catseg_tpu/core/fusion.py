@@ -122,20 +122,25 @@ def fusion_aggregator_forward(
 
 
 def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig,
-                   normalized: bool = False) -> jnp.ndarray:
+                   normalized: bool = False, dino_images: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full dual-encoder forward (implicit_fusion_Ver31.py:195-374).
 
     images: (B, H, W, 3) raw RGB (or CLIP-normalized when ``normalized``,
-    for the static-canvas eval path that pads after normalization).  The
-    DINO input is derived from the CLIP-normalized, CLIP-resolution image
-    exactly as the reference's sliding-window branch does
-    (implicit_fusion_Ver31.py:259-260).
+    for the static-canvas eval path that pads after normalization).  When
+    ``dino_images`` is None the DINO input is derived from the
+    CLIP-normalized, CLIP-resolution image exactly as the reference's
+    sliding-window branch does (implicit_fusion_Ver31.py:259-260); the
+    non-sliding branch instead resizes the padded tensor to the DINO
+    resolution directly (implicit_fusion_Ver31.py:239-240), which the
+    canvas eval path reproduces by passing ``dino_images`` explicitly.
     """
     fus = cfg.fusion
     dtype = jnp.dtype(cfg.compute_dtype)
     clip_images = images if normalized else normalize_clip(images)
-    clip_images = resize_bilinear(clip_images, (fus.clip_resolution, fus.clip_resolution))
-    dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
+    if clip_images.shape[1:3] != (fus.clip_resolution, fus.clip_resolution):
+        clip_images = resize_bilinear(clip_images, (fus.clip_resolution, fus.clip_resolution))
+    if dino_images is None:
+        dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
 
     tokens, taps = encode_image(
         params["clip"], clip_images.astype(dtype), cfg.clip, dense=True,

@@ -120,16 +120,26 @@ def whole_image_probs_from_canvas(
     div = cfg.crop_size  # SIZE_DIVISIBILITY 384
     ph = ((hw[0] + div - 1) // div) * div
     pw = ((hw[1] + div - 1) // div) * div
-    R = cfg.clip_resolution
+    # the non-sliding fusion branch resizes the padded tensor to the fusion
+    # CLIP resolution (768) directly, and to the DINO resolution independently
+    # (implicit_fusion_Ver31.py:239-240) — no intermediate 384 bottleneck
+    R = cfg.clip_resolution if cfg.fusion is None else cfg.fusion.clip_resolution
     whr = bilinear_row_weights_dynamic(R, ph, Hc)
     wwr = bilinear_row_weights_dynamic(R, pw, Wc)
-    img = jnp.einsum("hwc,Hh->Hwc", img, whr)
-    img = jnp.einsum("Hwc,Ww->HWc", img, wwr)
+    imgR = jnp.einsum("hwc,Hh->Hwc", img, whr)
+    imgR = jnp.einsum("Hwc,Ww->HWc", imgR, wwr)
     if cfg.fusion is not None:
         from ..core.fusion import fusion_forward
 
-        logits = fusion_forward(params, img[None], text_feats, cfg, normalized=True)[0]
+        Rd = cfg.fusion.encoder_resolution
+        whd = bilinear_row_weights_dynamic(Rd, ph, Hc)
+        wwd = bilinear_row_weights_dynamic(Rd, pw, Wc)
+        dino = jnp.einsum("hwc,Hh->Hwc", img, whd)
+        dino = jnp.einsum("Hwc,Ww->HWc", dino, wwd)
+        logits = fusion_forward(params, imgR[None], text_feats, cfg, normalized=True,
+                                dino_images=dino[None])[0]
         return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
+    img = imgR
     from ..core.catseg import clip_guidance_features
     from ..core.aggregator import aggregator_forward
 

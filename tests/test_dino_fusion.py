@@ -165,3 +165,39 @@ def test_fusion_whole_image_canvas_path():
         fusion.fusion_forward(params, jnp.asarray(img)[None], text, cfg)[0].astype(jnp.float32)
     ).transpose(1, 2, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fusion_whole_image_canvas_no_bottleneck():
+    """The fusion canvas path must resize the padded tensor directly to the
+    fusion CLIP resolution (implicit_fusion_Ver31.py:239-240) — NOT through a
+    cfg.clip_resolution bottleneck (round-1 advisor finding)."""
+    from catseg_tpu.configs import FusionConfig
+    from catseg_tpu.core import fusion
+    from catseg_tpu.infer.pipeline import normalize_clip_padded, whole_image_probs_from_canvas
+    from catseg_tpu.ops import resize_bilinear
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    cfg = mini_cfg(
+        fusion=FusionConfig(encoder="mini_dino", encoder_resolution=128,
+                            clip_resolution=128, guidance_blocks=(0, 1)),
+        text_guidance_dim=0,
+        clip_resolution=64,  # the plain-model resolution: must NOT be used
+        crop_size=96,
+    )
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    canvas = np.zeros((96, 96, 3), np.float32)
+    canvas[:80, :90] = rng.randint(0, 255, (80, 90, 3)).astype(np.float32)
+    hw = jnp.asarray([80, 90], np.int32)
+    text = jnp.asarray(rng.randn(7, 1, 48).astype(np.float32))
+
+    got = whole_image_probs_from_canvas(params, jnp.asarray(canvas), hw, text, cfg)
+    # reference semantics: normalize -> pad (ph=pw=96=canvas) -> one resize
+    # of the padded tensor to the fusion CLIP resolution
+    norm = normalize_clip_padded(jnp.asarray(canvas), hw)
+    clip_in = resize_bilinear(norm[None], (128, 128))
+    want = jax.nn.sigmoid(
+        fusion.fusion_forward(params, clip_in, text, cfg, normalized=True)[0].astype(jnp.float32)
+    ).transpose(1, 2, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
