@@ -35,6 +35,43 @@ def list_dataset(spec: DatasetSpec, root: str | None = None, limit: int | None =
     return pairs[:limit] if limit else pairs
 
 
+def probe_sizes(paths, cache_path: str | None = None) -> list:
+    """(h, w) per file via header-only PIL opens, optionally disk-cached.
+
+    The reference takes image sizes from the detectron2 dataset dicts; here
+    the first run probes the headers (no pixel decode) and caches, so later
+    benchmark runs skip the O(N) pre-pass entirely."""
+    import json
+
+    cache: dict = {}
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+    sizes = []
+    dirty = False
+    for p in paths:
+        key = os.path.basename(p)
+        if key in cache:
+            sizes.append((int(cache[key][0]), int(cache[key][1])))
+            continue
+        with Image.open(p) as im:  # lazy: header only, no decode
+            s = (im.height, im.width)
+        cache[key] = s
+        sizes.append(s)
+        dirty = True
+    if cache_path and dirty:
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump(cache, f)
+        except OSError:
+            pass  # read-only dataset root: probe again next run
+    return sizes
+
+
 def load_image(path: str) -> np.ndarray:
     """RGB uint8 (H, W, 3)."""
     with Image.open(path) as im:
@@ -70,8 +107,19 @@ def resize_shortest_edge(
     return np.asarray(pil.resize((neww, newh), interp))
 
 
+class _PrefetchError:
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
-    """Background-thread iterator: overlaps host decode with device compute."""
+    """Background-thread iterator: overlaps host decode with device compute.
+
+    Worker exceptions (corrupt image, missing file) are re-raised in the
+    consumer instead of silently killing the worker thread — a dead worker
+    would otherwise leave the consumer blocked on the queue forever."""
 
     def __init__(self, items, fn, depth: int = 4):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
@@ -79,7 +127,11 @@ class Prefetcher:
 
         def work():
             for it in items:
-                self._q.put(fn(it))
+                try:
+                    self._q.put(fn(it))
+                except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+                    self._q.put(_PrefetchError(e))
+                    return
 
         self._t = threading.Thread(target=work, daemon=True)
         self._t.start()
@@ -89,4 +141,7 @@ class Prefetcher:
 
     def __iter__(self):
         for _ in range(self._n):
-            yield self._q.get()
+            item = self._q.get()
+            if isinstance(item, _PrefetchError):
+                raise item.exc
+            yield item

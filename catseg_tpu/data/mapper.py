@@ -49,25 +49,41 @@ def random_crop_category_area(
     return img[y : y + ch, x : x + cw], crop
 
 
+def _color_aug_decisions(rng: np.random.Generator) -> dict:
+    """Draw every ColorAugSSDTransform coin/parameter: brightness w.p. 0.5,
+    contrast w.p. 0.5 (applied before or after the color ops on a fair order
+    coin), saturation and hue each *independently* w.p. 0.5.  The hue delta
+    is an integer in [-18, 18] on the cv2 H channel, whose unit is 2 degrees
+    (H in [0, 180)), i.e. up to +-36 degrees."""
+    return {
+        "brightness": rng.uniform(-32, 32) if rng.integers(2) else None,
+        "contrast_first": bool(rng.integers(2)),
+        "contrast": rng.uniform(0.5, 1.5) if rng.integers(2) else None,
+        "saturation": rng.uniform(0.5, 1.5) if rng.integers(2) else None,
+        "hue": int(rng.integers(-18, 19)) if rng.integers(2) else None,
+    }
+
+
 def color_aug_ssd(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """SSD photometric distortion (detectron2 ColorAugSSDTransform semantics):
-    brightness +-32, contrast [0.5, 1.5], saturation [0.5, 1.5], hue +-18."""
+    """SSD photometric distortion (detectron2 point_rend ColorAugSSDTransform
+    semantics; see _color_aug_decisions for the distribution)."""
+    d = _color_aug_decisions(rng)
     img = img.astype(np.float32)
-    if rng.integers(2):
-        img += rng.uniform(-32, 32)
-    contrast_last = rng.integers(2)
-    if not contrast_last and rng.integers(2):
-        img *= rng.uniform(0.5, 1.5)
-    # saturation / hue in HSV
-    if rng.integers(2) or rng.integers(2):
+    if d["brightness"] is not None:
+        img += d["brightness"]
+    if d["contrast_first"] and d["contrast"] is not None:
+        img *= d["contrast"]
+    # the reference does two gated HSV round trips (saturation, then hue);
+    # value-wise equal to one round trip applying both
+    if d["saturation"] is not None or d["hue"] is not None:
         hsv = _rgb_to_hsv(np.clip(img, 0, 255))
-        if rng.integers(2):
-            hsv[..., 1] *= rng.uniform(0.5, 1.5)
-        if rng.integers(2):
-            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-18, 18) / 360.0) % 1.0
+        if d["saturation"] is not None:
+            hsv[..., 1] = np.clip(hsv[..., 1] * d["saturation"], 0.0, 1.0)
+        if d["hue"] is not None:
+            hsv[..., 0] = (hsv[..., 0] + d["hue"] / 180.0) % 1.0
         img = _hsv_to_rgb(hsv)
-    if contrast_last and rng.integers(2):
-        img *= rng.uniform(0.5, 1.5)
+    if not d["contrast_first"] and d["contrast"] is not None:
+        img *= d["contrast"]
     return np.clip(img, 0, 255)
 
 

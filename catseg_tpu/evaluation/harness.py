@@ -57,13 +57,16 @@ def evaluate_benchmark(
         gt = load_gt(pair[1])
         return resize_shortest_edge(img, cfg.min_size_test, cfg.max_size_test), gt
 
-    # probe sizes for the static canvases (GT carries the original size)
-    sizes = []
-    for _, g in pairs:
-        from PIL import Image
+    # probe sizes for the static canvases (GT carries the original size);
+    # header-only reads, disk-cached next to the dataset
+    import os
 
-        with Image.open(g) as im:
-            sizes.append((im.height, im.width))
+    from ..data.catalogs import dataset_root
+    from ..data.loader import probe_sizes
+
+    cache_path = os.path.join(root or dataset_root(), ".catseg_cache",
+                              f"{spec.name}_gt_sizes.json")
+    sizes = probe_sizes([g for _, g in pairs], cache_path=cache_path)
     Hc, Wc = _canvas(sizes)
 
     def _resized(hw):

@@ -68,7 +68,7 @@ def forward_text_embeds(
     texts = []
     for name in class_names:
         first = name.split(", ")[0] if ", " in name else name
-        texts.extend(t.format(first) for t in temps)
+        texts.extend(_templates.format_template(t, first) for t in temps)
     tokens = tokenize(texts, tokenizer=tokenizer)
     emb = encode_texts_batched(clip_params, tokens, variant, compute_dtype=compute_dtype)
     emb = _l2(emb)
@@ -93,7 +93,7 @@ def class_embeddings_ensemble(
         counts.append(len(splits))
         for t in temps:
             for s in splits:
-                texts.append(t.format(s))
+                texts.append(_templates.format_template(t, s))
     tokens = tokenize(texts, tokenizer=tokenizer)
     emb = _l2(encode_texts_batched(clip_params, tokens, variant, compute_dtype=compute_dtype))
     out = np.zeros((len(class_names), P, emb.shape[-1]), dtype=np.float32)

@@ -133,12 +133,81 @@ RS_ALL = (
     "{} visible from above",
 )
 
+# ViLD prompt set (63 templates, imagenet_templates.py:406-470).  These use
+# {article}/{category} placeholders; format with ``format_template`` below.
+VILD = (
+    "There is {article} {category} in the scene.",
+    "There is the {category} in the scene.",
+    "a photo of {article} {category} in the scene.",
+    "a photo of the {category} in the scene.",
+    "a photo of one {category} in the scene.",
+    "itap of {article} {category}.",
+    "itap of my {category}.",
+    "itap of the {category}.",
+    "a photo of {article} {category}.",
+    "a photo of my {category}.",
+    "a photo of the {category}.",
+    "a photo of one {category}.",
+    "a photo of many {category}.",
+    "a good photo of {article} {category}.",
+    "a good photo of the {category}.",
+    "a bad photo of {article} {category}.",
+    "a bad photo of the {category}.",
+    "a photo of a nice {category}.",
+    "a photo of the nice {category}.",
+    "a photo of a cool {category}.",
+    "a photo of the cool {category}.",
+    "a photo of a weird {category}.",
+    "a photo of the weird {category}.",
+    "a photo of a small {category}.",
+    "a photo of the small {category}.",
+    "a photo of a large {category}.",
+    "a photo of the large {category}.",
+    "a photo of a clean {category}.",
+    "a photo of the clean {category}.",
+    "a photo of a dirty {category}.",
+    "a photo of the dirty {category}.",
+    "a bright photo of {article} {category}.",
+    "a bright photo of the {category}.",
+    "a dark photo of {article} {category}.",
+    "a dark photo of the {category}.",
+    "a photo of a hard to see {category}.",
+    "a photo of the hard to see {category}.",
+    "a low resolution photo of {article} {category}.",
+    "a low resolution photo of the {category}.",
+    "a cropped photo of {article} {category}.",
+    "a cropped photo of the {category}.",
+    "a close-up photo of {article} {category}.",
+    "a close-up photo of the {category}.",
+    "a jpeg corrupted photo of {article} {category}.",
+    "a jpeg corrupted photo of the {category}.",
+    "a blurry photo of {article} {category}.",
+    "a blurry photo of the {category}.",
+    "a pixelated photo of {article} {category}.",
+    "a pixelated photo of the {category}.",
+    "a black and white photo of the {category}.",
+    "a black and white photo of {article} {category}.",
+    "a plastic {category}.",
+    "the plastic {category}.",
+    "a toy {category}.",
+    "the toy {category}.",
+    "a plushie {category}.",
+    "the plushie {category}.",
+    "a cartoon {category}.",
+    "the cartoon {category}.",
+    "an embroidered {category}.",
+    "the embroidered {category}.",
+    "a painting of the {category}.",
+    "a painting of a {category}.",
+)
+
 SETS: dict[str, tuple[str, ...]] = {
     "single": SINGLE,
     "imagenet": IMAGENET,
     "imagenet_select": IMAGENET_SELECT,
     "rs": RS,
     "rs_all": RS_ALL,
+    "vild": VILD,
 }
 
 
@@ -147,3 +216,13 @@ def get(name: str) -> tuple[str, ...]:
         return SETS[name]
     except KeyError:
         raise NotImplementedError(f"unknown prompt ensemble type {name!r}; known: {sorted(SETS)}")
+
+
+def format_template(template: str, name: str) -> str:
+    """Fill a template with a class name.  ``{}``-style sets use str.format;
+    ViLD-style sets carry {article}/{category} placeholders, with the article
+    chosen by the vowel rule."""
+    if "{category}" in template:
+        article = "an" if name[:1].lower() in "aeiou" else "a"
+        return template.replace("{article}", article).replace("{category}", name)
+    return template.format(name)

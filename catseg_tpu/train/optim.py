@@ -18,14 +18,31 @@ import optax
 from ..configs import CATSegConfig
 
 
+# dict keys whose leaves are torch norm-module parameters (LayerNorm gains/
+# biases in CLIP + swin/class blocks, GroupNorm in the decoder DoubleConvs)
+_NORM_KEYS = frozenset(
+    {"gn1", "gn2", "norm1", "norm2", "guidance_norm", "ln_1", "ln_2",
+     "ln_final", "ln_post", "ln_pre"}
+)
+
+
 def _label_for_path(path: tuple, clip_finetune: str) -> str:
     keys = tuple(getattr(k, "key", getattr(k, "idx", None)) for k in path)
+
+    def with_decay(base: str) -> str:
+        # the reference zeroes weight decay for norm-module params
+        # (train_net.py:218-220, WEIGHT_DECAY_NORM=0 detectron2 default) and
+        # nn.Embedding weights (config.py:26, WEIGHT_DECAY_EMBED=0)
+        if any(k in _NORM_KEYS for k in keys) or keys[-1] == "token_embedding":
+            return base + "_nodecay"
+        return base
+
     if keys and keys[0] in ("dino", "sam"):
         # second encoders are frozen in every fusion variant
         # (BuildDINO: implicit_fusion_Ver31.py:23-51; SAM likewise)
         return "frozen"
     if not keys or keys[0] != "clip":
-        return "main"
+        return with_decay("main")
     inside_transformer = "blocks" in keys
     if clip_finetune == "attention":
         # q/v projection weights only (not biases, not k, not out-proj)
@@ -33,7 +50,7 @@ def _label_for_path(path: tuple, clip_finetune: str) -> str:
             return "clip"
         return "frozen"
     if clip_finetune == "full":
-        return "clip" if inside_transformer else "frozen"
+        return with_decay("clip") if inside_transformer else "frozen"
     # "prompt" (VPT) or "none": nothing of CLIP trains (prompt tokens are the
     # VPT path, prompt_depth=0 in every released config)
     return "frozen"
@@ -76,16 +93,22 @@ def auto_scale_config(cfg: CATSegConfig, num_devices: int, ref_batch: int | None
 def build_optimizer(cfg: CATSegConfig, params) -> optax.GradientTransformation:
     labels = finetune_label_tree(params, cfg.clip_finetune)
 
-    def adamw(mult: float):
+    def adamw(mult: float, wd: float):
         return optax.adamw(
             learning_rate=cosine_lr(cfg.base_lr * mult, cfg.max_iter),
-            weight_decay=cfg.weight_decay,
+            weight_decay=wd,
         )
 
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.multi_transform(
-            {"main": adamw(1.0), "clip": adamw(cfg.clip_multiplier), "frozen": optax.set_to_zero()},
+            {
+                "main": adamw(1.0, cfg.weight_decay),
+                "main_nodecay": adamw(1.0, 0.0),
+                "clip": adamw(cfg.clip_multiplier, cfg.weight_decay),
+                "clip_nodecay": adamw(cfg.clip_multiplier, 0.0),
+                "frozen": optax.set_to_zero(),
+            },
             labels,
         ),
     )
