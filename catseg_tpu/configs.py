@@ -29,19 +29,31 @@ class CLIPVariant:
     text_layers: int
     vocab_size: int = 49408
     context: int = 77
+    # OpenAI CLIP uses QuickGELU; open_clip's laion-trained H/G use exact GELU
+    act: str = "quick_gelu"
+    # visual-tower MLP expansion (open_clip ViT-bigG-14 ships 4.9231 -> 8192)
+    mlp_ratio: float = 4.0
 
     @property
     def pretrain_grid(self) -> int:
         return self.pretrain_res // self.patch
 
+    @property
+    def mlp_width(self) -> int:
+        return int(self.width * self.mlp_ratio)
+
 
 VITB16 = CLIPVariant("ViT-B/16", 16, 768, 12, 12, 512, 224, 512, 8, 12)
 VITL14_336 = CLIPVariant("ViT-L/14@336px", 14, 1024, 24, 16, 768, 336, 768, 12, 12)
 VITB32 = CLIPVariant("ViT-B/32", 32, 768, 12, 12, 512, 224, 512, 8, 12)  # RemoteCLIP backbone
-# OpenCLIP tiers the reference supports via open_clip (cat_seg_predictor.py:64-76);
-# force_image_size=336 there -> pretrain_res 336
-VITH14 = CLIPVariant("ViT-H-14", 14, 1280, 32, 16, 1024, 336, 1024, 16, 24)
-VITG14 = CLIPVariant("ViT-bigG-14", 14, 1664, 48, 16, 1280, 336, 1280, 20, 32)
+# OpenCLIP tiers the reference supports via open_clip (cat_seg_predictor.py:64-76).
+# Published laion2b checkpoints ship 224-grid pos embeds; force_image_size=336
+# there means the pos embed is bicubically resized to the 24x24 grid at load —
+# our converter does the same (weights/convert.py:convert_openclip_state_dict),
+# so pretrain_res here is the *running* grid, 336.
+VITH14 = CLIPVariant("ViT-H-14", 14, 1280, 32, 16, 1024, 336, 1024, 16, 24, act="gelu")
+VITG14 = CLIPVariant("ViT-bigG-14", 14, 1664, 48, 16, 1280, 336, 1280, 20, 32,
+                     act="gelu", mlp_ratio=4.9231)
 
 CLIP_VARIANTS = {v.name: v for v in (VITB16, VITL14_336, VITB32, VITH14, VITG14)}
 
@@ -143,6 +155,36 @@ def vitl336(**kw) -> CATSegConfig:
         guidance_proj_dim=1024,
         text_guidance_dim=768,
         appearance_guidance_dim=768,
+    )
+    base.update(kw)
+    return CATSegConfig(**base)
+
+
+def vith336(**kw) -> CATSegConfig:
+    """CAT-Seg (H): OpenCLIP ViT-H-14 @ 336 (cat_seg_predictor.py:64-76;
+    guidance taps stay [7, 15] for every non-B/16 variant,
+    cat_seg_model.py:84)."""
+    base = dict(
+        clip=VITH14,
+        clip_resolution=336,
+        guidance_layers=(7, 15),
+        guidance_proj_dim=1280,
+        text_guidance_dim=1024,
+        appearance_guidance_dim=1024,
+    )
+    base.update(kw)
+    return CATSegConfig(**base)
+
+
+def vitg336(**kw) -> CATSegConfig:
+    """CAT-Seg (G): OpenCLIP ViT-bigG-14 @ 336."""
+    base = dict(
+        clip=VITG14,
+        clip_resolution=336,
+        guidance_layers=(7, 15),
+        guidance_proj_dim=1664,
+        text_guidance_dim=1280,
+        appearance_guidance_dim=1280,
     )
     base.update(kw)
     return CATSegConfig(**base)

@@ -40,6 +40,14 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _act_fn(variant: CLIPVariant):
+    """OpenAI checkpoints use QuickGELU; open_clip H/G use exact GELU
+    (torch nn.GELU default, erf form)."""
+    if variant.act == "quick_gelu":
+        return quick_gelu
+    return functools.partial(jax.nn.gelu, approximate=False)
+
+
 def _linear(x, w, b=None):
     y = jnp.einsum("...i,io->...o", x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     if b is not None:
@@ -64,21 +72,21 @@ def _mha(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None) -> jnp.
     return _linear(out, bp["out_w"], bp["out_b"])
 
 
-def _mlp(x: jnp.ndarray, bp: dict) -> jnp.ndarray:
-    return _linear(quick_gelu(_linear(x, bp["fc_w"], bp["fc_b"])), bp["proj_w"], bp["proj_b"])
+def _mlp(x: jnp.ndarray, bp: dict, act=quick_gelu) -> jnp.ndarray:
+    return _linear(act(_linear(x, bp["fc_w"], bp["fc_b"])), bp["proj_w"], bp["proj_b"])
 
 
-def _block(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None) -> jnp.ndarray:
+def _block(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None, act=quick_gelu) -> jnp.ndarray:
     x = x + _mha(layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"]), bp, heads, mask)
-    x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+    x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp, act)
     return x
 
 
-def _scan_blocks(x: jnp.ndarray, stacked: dict, heads: int, mask: jnp.ndarray | None) -> jnp.ndarray:
+def _scan_blocks(x: jnp.ndarray, stacked: dict, heads: int, mask: jnp.ndarray | None, act=quick_gelu) -> jnp.ndarray:
     """Run a stack of identical blocks with one compiled body."""
 
     def body(carry, bp):
-        return _block(carry, bp, heads, mask), None
+        return _block(carry, bp, heads, mask, act), None
 
     out, _ = jax.lax.scan(body, x, stacked)
     return out
@@ -92,14 +100,14 @@ def _layer(stacked: dict, i: int) -> dict:
     return jax.tree.map(lambda a: a[i], stacked)
 
 
-def _dense_final_block(x: jnp.ndarray, bp: dict) -> jnp.ndarray:
+def _dense_final_block(x: jnp.ndarray, bp: dict, act=quick_gelu) -> jnp.ndarray:
     """The dense trick (model_vpt.py:219-240): value path + out-proj only,
     residual is the pre-block CLS row broadcast over all tokens."""
     y = layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"])
     v = _linear(y, bp["v_w"], bp["v_b"])
     v = _linear(v, bp["out_w"], bp["out_b"])
     v = v + x[:, :1]
-    v = v + _mlp(layer_norm(v, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+    v = v + _mlp(layer_norm(v, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp, act)
     return v
 
 
@@ -136,6 +144,7 @@ def encode_image(
       list of (B, 1+G², width) block outputs for each requested tap.
     """
     p = params["visual"]
+    act = _act_fn(variant)
     B, H, _, _ = images.shape
     grid = H // variant.patch
 
@@ -162,7 +171,7 @@ def encode_image(
         L = prompt_tokens.shape[1]
         prompts = jnp.broadcast_to(prompt_tokens[i].astype(x.dtype), (B, L, variant.width))
         xp = jnp.concatenate([x[:, :1], prompts, x[:, 1:]], axis=1)
-        xp = _block(xp, _layer(blocks, i), variant.heads, None)
+        xp = _block(xp, _layer(blocks, i), variant.heads, None, act)
         x = jnp.concatenate([xp[:, :1], xp[:, 1 + L :]], axis=1)
         tapped_by_index[i] = x
 
@@ -170,14 +179,14 @@ def encode_image(
     start = n_prompted
     for stop in bounds:
         if stop > start:
-            x = _scan_blocks(x, _slice_layers(blocks, start, stop), variant.heads, None)
+            x = _scan_blocks(x, _slice_layers(blocks, start, stop), variant.heads, None, act)
         tapped_by_index[stop - 1] = x
         start = stop
 
     if dense:
-        x = _dense_final_block(x, _layer(blocks, n - 1))
+        x = _dense_final_block(x, _layer(blocks, n - 1), act)
     else:
-        x = _block(x, _layer(blocks, n - 1), variant.heads, None)
+        x = _block(x, _layer(blocks, n - 1), variant.heads, None, act)
 
     x = layer_norm(x, p["ln_post"]["g"], p["ln_post"]["b"])
     if not dense:
@@ -226,7 +235,7 @@ def encode_image_attn_maps(
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(x.dtype), v, preferred_element_type=jnp.float32)
         out = _linear(out.astype(x.dtype).reshape(B, T, variant.width), bp["out_w"], bp["out_b"])
         x = x + out
-        x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp)
+        x = x + _mlp(layer_norm(x, bp["ln_2"]["g"], bp["ln_2"]["b"]), bp, _act_fn(variant))
     return [maps[i] for i in sorted(set(attn_layers)) if i in maps]
 
 
@@ -250,7 +259,8 @@ def encode_text(
     p = params["text"]
     x = p["token_embedding"][token_ids].astype(compute_dtype)
     x = x + p["positional_embedding"].astype(compute_dtype)
-    x = _scan_blocks(x, p["blocks"], variant.text_heads, _causal_mask(token_ids.shape[-1]))
+    x = _scan_blocks(x, p["blocks"], variant.text_heads, _causal_mask(token_ids.shape[-1]),
+                     _act_fn(variant))
     x = layer_norm(x, p["ln_final"]["g"], p["ln_final"]["b"])
     eot = jnp.argmax(token_ids, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
@@ -260,7 +270,8 @@ def encode_text(
 # ---------------------------------------------------------------- init
 
 
-def _init_block(rng, width: int) -> dict:
+def _init_block(rng, width: int, mlp: int | None = None) -> dict:
+    mlp = 4 * width if mlp is None else mlp
     ks = jax.random.split(rng, 6)
     attn_std = width**-0.5
     fc_std = (2 * width) ** -0.5
@@ -274,17 +285,17 @@ def _init_block(rng, width: int) -> dict:
         "v_b": jnp.zeros(width),
         "out_w": jax.random.normal(ks[3], (width, width)) * proj_std,
         "out_b": jnp.zeros(width),
-        "fc_w": jax.random.normal(ks[4], (width, 4 * width)) * fc_std,
-        "fc_b": jnp.zeros(4 * width),
-        "proj_w": jax.random.normal(ks[5], (4 * width, width)) * proj_std,
+        "fc_w": jax.random.normal(ks[4], (width, mlp)) * fc_std,
+        "fc_b": jnp.zeros(mlp),
+        "proj_w": jax.random.normal(ks[5], (mlp, width)) * proj_std,
         "proj_b": jnp.zeros(width),
         "ln_1": {"g": jnp.ones(width), "b": jnp.zeros(width)},
         "ln_2": {"g": jnp.ones(width), "b": jnp.zeros(width)},
     }
 
 
-def _stack_blocks(rng, n: int, width: int) -> dict:
-    blocks = [_init_block(k, width) for k in jax.random.split(rng, n)]
+def _stack_blocks(rng, n: int, width: int, mlp: int | None = None) -> dict:
+    blocks = [_init_block(k, width, mlp) for k in jax.random.split(rng, n)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
@@ -297,7 +308,7 @@ def init_clip_params(rng, variant: CLIPVariant) -> dict:
         "class_embedding": jax.random.normal(k2, (w,)) * scale,
         "positional_embedding": jax.random.normal(k3, (variant.pretrain_grid**2 + 1, w)) * scale,
         "ln_pre": {"g": jnp.ones(w), "b": jnp.zeros(w)},
-        "blocks": _stack_blocks(kv, variant.layers, w),
+        "blocks": _stack_blocks(kv, variant.layers, w, variant.mlp_width),
         "ln_post": {"g": jnp.ones(w), "b": jnp.zeros(w)},
         "proj": jax.random.normal(k4, (w, variant.embed_dim)) * scale,
     }

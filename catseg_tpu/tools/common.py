@@ -12,6 +12,8 @@ from ..configs import CATSegConfig
 PRESETS = {
     "vitb384": configs.vitb384,
     "vitl336": configs.vitl336,
+    "vith336": configs.vith336,
+    "vitg336": configs.vitg336,
     "fusion_ver31": configs.fusion_ver31,
 }
 
@@ -43,10 +45,24 @@ def load_params(path: str | None, cfg: CATSegConfig, seed: int = 0):
         from ..core.catseg import init_catseg_params
 
         return init_catseg_params(jax.random.PRNGKey(seed), cfg)
-    if path.endswith(".pth") or path.endswith(".pt"):
-        from ..weights.convert import convert_catseg_checkpoint, load_torch_checkpoint
+    if path.endswith(".pth") or path.endswith(".pt") or path.endswith(".bin"):
+        from ..weights.convert import (
+            convert_catseg_checkpoint,
+            convert_openclip_state_dict,
+            load_torch_checkpoint,
+        )
 
-        return convert_catseg_checkpoint(load_torch_checkpoint(path), num_layers=cfg.num_layers)
+        sd = load_torch_checkpoint(path)
+        if not any(k.startswith("sem_seg_head.") for k in sd):
+            # bare CLIP state dict (OpenAI or open_clip — same key scheme,
+            # both fused/split qkv handled): the reference's train-time init,
+            # pretrained CLIP + random everything else
+            # (cat_seg_predictor.py:64-76); the grid resize is a no-op when
+            # the shipped pos embed already matches cfg.clip.pretrain_grid
+            params = load_params(None, cfg, seed=seed)
+            params["clip"] = convert_openclip_state_dict(sd, cfg.clip.pretrain_grid)
+            return params
+        return convert_catseg_checkpoint(sd, num_layers=cfg.num_layers)
     from ..weights.io import load_pytree
 
     return load_pytree(path)

@@ -76,11 +76,10 @@ def smoke_l14():
 def smoke_h14():
     import jax
     import jax.numpy as jnp
-    from catseg_tpu.configs import VITH14, vitl336
+    from catseg_tpu.configs import vith336
     from catseg_tpu.core import catseg
 
-    cfg = vitl336(clip=VITH14, guidance_proj_dim=1280, text_guidance_dim=1024,
-                  appearance_guidance_dim=1024)
+    cfg = vith336()
     rng = np.random.RandomState(0)
     T = 20
     params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)

@@ -115,6 +115,51 @@ def convert_clip_state_dict(sd: dict) -> dict:
     return {"visual": visual, "text": text, "logit_scale": np.asarray(sd.get("logit_scale", 0.0), dtype=np.float32)}
 
 
+def resize_pos_embed_grid(pe: np.ndarray, target_grid: int) -> np.ndarray:
+    """open_clip ``resize_pos_embed`` semantics at conversion time.
+
+    Published laion2b ViT-H/G checkpoints ship 224-res (16x16 grid) visual
+    positional embeddings; the reference loads them with
+    ``force_image_size=336`` (cat_seg_predictor.py:64-76), which makes
+    open_clip bicubically resize the grid part to 24x24 (align_corners=False;
+    torch antialias is a no-op when upscaling).  ``pe``: (1 + S^2, W)."""
+    n_extra = pe.shape[0] - int(round((pe.shape[0] - 1) ** 0.5)) ** 2
+    grid = int(round((pe.shape[0] - n_extra) ** 0.5))
+    if grid == target_grid:
+        return pe
+    from ..ops.resize import _cubic_weights
+
+    tok, img = pe[:n_extra], pe[n_extra:]
+    img = img.reshape(grid, grid, -1).astype(np.float64)
+    w = _cubic_weights(grid, target_grid, False)  # (target, grid)
+    img = np.einsum("hwc,oh->owc", img, w)
+    img = np.einsum("hwc,ow->hoc", img, w)
+    out = np.concatenate([tok, img.reshape(target_grid * target_grid, -1).astype(pe.dtype)])
+    return np.ascontiguousarray(out)
+
+
+def convert_openclip_state_dict(sd: dict, target_grid: int | None = None) -> dict:
+    """open_clip CLIP state dict (ViT-H-14 / ViT-bigG-14 laion2b) -> clip
+    pytree.
+
+    open_clip's classic CLIP class keeps OpenAI key names (fused
+    ``attn.in_proj_weight``, top-level text keys) plus non-parameter buffers
+    (``attn_mask``, sometimes ``logit_bias``) that must be dropped; the visual
+    positional embedding is grid-resized to ``target_grid`` per
+    force_image_size (see resize_pos_embed_grid)."""
+    sd = {
+        k: np.asarray(v, dtype=np.float32)
+        for k, v in sd.items()
+        if not (k.endswith("attn_mask") or k == "logit_bias")
+    }
+    params = convert_clip_state_dict(sd)
+    if target_grid is not None:
+        params["visual"]["positional_embedding"] = resize_pos_embed_grid(
+            params["visual"]["positional_embedding"], target_grid
+        )
+    return params
+
+
 # --------------------------------------------------------------- aggregator
 
 

@@ -36,19 +36,20 @@ def _mha(sd, p, x, heads, mask=None):
     return _l(sd, p + ".attn.out_proj", out)
 
 
-def _clip_mlp(sd, p, x):
+def _clip_mlp(sd, p, x, act="quick_gelu"):
     h = _l(sd, p + ".mlp.c_fc", x)
-    h = h * torch.sigmoid(1.702 * h)
+    # OpenAI CLIP: QuickGELU; open_clip H/G: exact nn.GELU
+    h = h * torch.sigmoid(1.702 * h) if act == "quick_gelu" else F.gelu(h)
     return _l(sd, p + ".mlp.c_proj", h)
 
 
-def _clip_block(sd, p, x, heads, mask=None):
+def _clip_block(sd, p, x, heads, mask=None, act="quick_gelu"):
     x = x + _mha(sd, p, _ln(sd, p + ".ln_1", x), heads, mask)
-    x = x + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", x))
+    x = x + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", x), act)
     return x
 
 
-def _dense_block(sd, p, x):
+def _dense_block(sd, p, x, act="quick_gelu"):
     # model_vpt.py:219-240 semantics: value path + out_proj, CLS-row residual
     y = _ln(sd, p + ".ln_1", x)
     W = x.shape[-1]
@@ -57,11 +58,11 @@ def _dense_block(sd, p, x):
     v = F.linear(y, vw, vb)
     v = _l(sd, p + ".attn.out_proj", v)
     v = v + x[:, :1]
-    v = v + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", v))
+    v = v + _clip_mlp(sd, p, _ln(sd, p + ".ln_2", v), act)
     return v
 
 
-def clip_visual_dense(sd, images_nchw, patch, layers, heads, pretrain_grid, taps=()):
+def clip_visual_dense(sd, images_nchw, patch, layers, heads, pretrain_grid, taps=(), act="quick_gelu"):
     """Returns (tokens after ln_post @ proj, [tap outputs])."""
     x = F.conv2d(images_nchw, sd["visual.conv1.weight"], stride=patch)
     B, W, gh, gw = x.shape
@@ -78,22 +79,22 @@ def clip_visual_dense(sd, images_nchw, patch, layers, heads, pretrain_grid, taps
     x = _ln(sd, "visual.ln_pre", x)
     tapped = []
     for i in range(layers - 1):
-        x = _clip_block(sd, f"visual.transformer.resblocks.{i}", x, heads)
+        x = _clip_block(sd, f"visual.transformer.resblocks.{i}", x, heads, act=act)
         if i in taps:
             tapped.append(x)
-    x = _dense_block(sd, f"visual.transformer.resblocks.{layers - 1}", x)
+    x = _dense_block(sd, f"visual.transformer.resblocks.{layers - 1}", x, act=act)
     x = _ln(sd, "visual.ln_post", x)
     x = x @ sd["visual.proj"]
     return x, tapped
 
 
-def clip_text(sd, tokens, layers, heads):
+def clip_text(sd, tokens, layers, heads, act="quick_gelu"):
     x = F.embedding(tokens, sd["token_embedding.weight"])
     x = x + sd["positional_embedding"]
     T = tokens.shape[-1]
     mask = torch.full((T, T), float("-inf")).triu_(1)
     for i in range(layers):
-        x = _clip_block(sd, f"transformer.resblocks.{i}", x, heads, mask)
+        x = _clip_block(sd, f"transformer.resblocks.{i}", x, heads, mask, act)
     x = _ln(sd, "ln_final", x)
     eot = tokens.argmax(dim=-1)
     return x[torch.arange(x.shape[0]), eot] @ sd["text_projection"]
