@@ -27,6 +27,41 @@ def _canvas(sizes, step: int = 256) -> tuple[int, int]:
     return (math.ceil(hm / step) * step, math.ceil(wm / step) * step)
 
 
+def _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
+                                in_canvas, out_canvas, verbose) -> dict:
+    """Mesh-sharded benchmark loop: one SPMD program over the data axis."""
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..text.embed import forward_text_embeds
+    from .distributed import evaluate_sharded
+    from .miou import semseg_metrics
+
+    mesh = make_mesh(n_data=len(jax.devices()))
+    text_feats = forward_text_embeds(
+        params["clip"], list(class_names), cfg.prompt_ensemble_type, cfg.clip,
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    )
+    t0 = time.time()
+    cm = evaluate_sharded(
+        params, cfg, mesh, Prefetcher(pairs, load), text_feats,
+        input_canvas=in_canvas, out_canvas=out_canvas,
+        num_classes=spec.num_classes, ignore=spec.ignore_label,
+        clamp_background=spec.evaluator == "sem_seg_background",
+    )
+    metrics = semseg_metrics(cm)
+    metrics["_conf"] = cm
+    metrics["num_images"] = len(pairs)
+    metrics["images_per_sec"] = len(pairs) / (time.time() - t0)
+    if verbose:
+        print(
+            f"[{spec.name}] ({mesh.shape['data']}-way sharded) mIoU {metrics['mIoU']:.2f} "
+            f"fwIoU {metrics['fwIoU']:.2f} mACC {metrics['mACC']:.2f} "
+            f"pACC {metrics['pACC']:.2f} ({metrics['images_per_sec']:.2f} im/s)"
+        )
+    return metrics
+
+
 def evaluate_benchmark(
     params: dict,
     cfg: CATSegConfig,
@@ -79,6 +114,18 @@ def evaluate_benchmark(
         return int(nh + 0.5), int(nw + 0.5)
 
     in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
+
+    # Multi-chip: shard the image stream over the mesh's data axis and psum
+    # the confusion matrix (reference shards eval across DDP ranks,
+    # plain_train_net.py:136-146).  The per-image dump/TTA paths stay
+    # sequential — they need host-side predictions per image.
+    import jax as _jax
+
+    if (sliding and not tta and dump_visuals == 0 and dump_predictions is None
+            and len(_jax.devices()) > 1):
+        return _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
+                                           in_canvas, (Hc, Wc), verbose)
+
     predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
     if tta:
         from ..infer.tta import TTAPredictor

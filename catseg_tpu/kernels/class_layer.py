@@ -38,7 +38,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6
-_G = 8  # spatial positions per grid step
 
 
 def _elu1(x):

@@ -52,7 +52,11 @@ def main(argv=None):
             unseen = json.load(open(args.unseen_indexes))
             gz = gzero_metrics(m["_conf"], seen, unseen)
             m.update({k: gz[k] for k in ("mIoU_seen", "mIoU_unseen", "hIoU")})
-        results[bench] = {k: v for k, v in m.items() if not hasattr(v, "shape")}
+        results[bench] = {
+            k: float(v) if getattr(v, "ndim", 0) == 0 and not isinstance(v, str) else v
+            for k, v in m.items()
+            if not k.startswith("_") and getattr(v, "ndim", 0) == 0
+        }
         print(f"copypaste: {bench}: mIoU={m['mIoU']:.4f},fwIoU={m['fwIoU']:.4f},"
               f"mACC={m['mACC']:.4f},pACC={m['pACC']:.4f}")
         if "hIoU" in m:
