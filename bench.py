@@ -1,89 +1,185 @@
-"""Benchmark: end-to-end sliding-window eval throughput of the flagship model.
+"""Benchmark: end-to-end throughput of the flagship configs on the real chip.
 
-Measures the eval.sh hot path (SURVEY.md §3.2) on the available accelerator:
-CAT-Seg (B) = ViT-B/16 @ 384, ADE-150-sized class list (T=150), sliding
-window (4 tiles + global through one batched forward), sigmoid/fold/average,
-and the on-device resize-argmax to the original image size.  Random weights —
-throughput is weight-independent.
+Headline metric = the eval.sh hot path (SURVEY.md §3.2): CAT-Seg (B) =
+ViT-B/16 @ 384, ADE-150-sized class list (T=150), sliding window (4 tiles +
+global through one batched forward), sigmoid/fold/average, and the on-device
+resize-argmax to the original image size.  Random weights — throughput is
+weight-independent.  Secondary metrics: ViT-L/14@336 eval, the T=847 top-k
+truncation path (ADE-847 protocol), and the batch-4 train step with an MFU
+estimate from XLA's own cost analysis.
 
-Baseline: the reference publishes no images/sec (BASELINE.md).  The published
-protocol ran 4x RTX 3090 with torch/TF32.  We could not measure that hardware
-here; the documented estimate below assumes ~2 im/s/GPU for the full
-sliding-window pipeline (5x ViT-B/16@384 dense passes + 150-class aggregation
-+ per-image python/host overhead in detectron2's eval loop), i.e. 8 im/s for
-the 4-GPU node.  vs_baseline = our_ims / 8.0.
+Baseline arithmetic (the reference publishes no images/sec, BASELINE.md):
+per image the sliding pipeline costs ~5 dense ViT-B/16@384 passes
+(5 x ~110 GFLOP = 550 GFLOP) plus the 150-class aggregator+decoder
+(~0.5 TFLOP, dominated by the per-class 96x96 DoubleConv stage) — ~1.1
+TFLOP/image.  An RTX 3090 peaks at 35.6 TFLOP/s dense TF32; detectron2's
+batch-1 eval loop with host-side postprocess typically sustains ~20-25%
+utilization -> ~2 im/s/GPU, i.e. ~8 im/s for the published 4x3090 node.
+vs_baseline divides by that estimate; the estimate's uncertainty is a factor
+of ~1.5 either way.
+
+The tunneled chip is time-shared: identical runs swing ~2x with contention,
+so each config reports best-of-N rounds (the peak is the hardware
+capability; the dispersion is other tenants) together with the median and
+the round count.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-REFERENCE_4X3090_IMS = 8.0
+REFERENCE_4X3090_IMS = 8.0  # documented estimate, see module docstring
+PEAK_TFLOPS_BF16 = 197.0  # v5e chip peak (assumed for the MFU estimate)
+_T0 = time.time()
+TOTAL_BUDGET_S = 430.0  # leave headroom under the driver's timeout
 
 
-def main():
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(x):
+    """Under the tunneled runtime block_until_ready returns before the device
+    finishes; a scalar fetch is the only true barrier."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1024, 1024)):
+    """Best/median images/sec for one (config, class-count) eval pipeline."""
     import jax
     import jax.numpy as jnp
-    from catseg_tpu.configs import vitb384, eval_preset
     from catseg_tpu.core import catseg
     from catseg_tpu.infer.pipeline import Predictor, resize_argmax_dynamic
 
-    cfg = eval_preset(vitb384())
-    T = 150
     params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
-
     rng = np.random.RandomState(0)
     text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
     text /= np.linalg.norm(text, axis=-1, keepdims=True)
     predictor = Predictor(params, cfg, [f"class{i}" for i in range(T)], text_feats=text,
-                          input_canvas=(1024, 1024))
+                          input_canvas=input_canvas)
 
     # synthetic "dataset": typical ADE val sizes after ResizeShortestEdge(640)
     sizes = [(640, 853), (640, 960), (853, 640), (640, 640)]
     orig_sizes = [(512, 683), (512, 768), (683, 512), (512, 512)]
-    canvas = (768, 768)
-    images = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8).astype(np.uint8) for h, w in sizes]
+    out_canvas = (768, 768)
+    images = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8) for h, w in sizes]
 
     def run_one(i):
         img = images[i % len(images)]
         H, W = orig_sizes[i % len(orig_sizes)]
         probs = predictor.probs_sliding(img)
-        return resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), canvas)
+        return resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), out_canvas)
 
-    def sync(x):
-        # under the tunneled runtime block_until_ready returns before the
-        # device finishes; a scalar fetch is the only true barrier
-        return int(jnp.sum(x))
+    _log("compiling eval pipeline")
+    for i in range(len(sizes)):  # warmup / compile
+        _sync(run_one(i))
+    _log("compiled; measuring")
 
-    # warmup / compile every shape variant
-    for i in range(len(sizes)):
-        sync(run_one(i))
-
-    # the tunneled chip is time-shared: identical runs swing ~2x with
-    # contention, so take the best of many short rounds (within a wall-time
-    # budget) — the peak is the hardware capability, the rest is other
-    # tenants
-    n = 16
-    best = 0.0
-    deadline = time.time() + 75.0
-    for r in range(8):
+    rates = []
+    deadline = time.time() + budget_s
+    while len(rates) < min_rounds or time.time() < deadline:
         t0 = time.time()
-        for i in range(n):
+        for i in range(n_per_round):
             pred = run_one(i)
-        sync(pred)  # device executes in order: the last sync drains the queue
-        best = max(best, n / (time.time() - t0))
-        if time.time() > deadline and r >= 2:
+        _sync(pred)  # device executes in order: the last sync drains the queue
+        rates.append(n_per_round / (time.time() - t0))
+        if len(rates) >= 16:
             break
-    ims = best
+    return {
+        "best": round(max(rates), 3),
+        "median": round(float(np.median(rates)), 3),
+        "rounds": len(rates),
+    }
+
+
+def measure_train(cfg, batch, budget_s=30.0):
+    """Train-step latency + MFU (XLA cost analysis over measured step time)."""
+    import jax
+    import jax.numpy as jnp
+    from catseg_tpu.train.loop import init_train_state, make_train_step
+
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(1, 1000, (cfg.num_classes, cfg.clip.context)).astype(np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, -1] = 49407
+    step = make_train_step(cfg, tx, tokens)
+    images = jnp.asarray(rng.randint(0, 255, (batch, cfg.crop_size, cfg.crop_size, 3)).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, cfg.num_classes, (batch, cfg.crop_size, cfg.crop_size)).astype(np.int32))
+
+    _log("compiling train step")
+    flops = None
+    try:
+        compiled = step.lower(state.params, state.opt_state, images, targets).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    params, opt_state = state.params, state.opt_state
+    params, opt_state, loss = step(params, opt_state, images, targets)  # compile
+    _sync(loss)
+    _log("train step compiled; measuring")
+    best_ms = float("inf")
+    deadline = time.time() + budget_s
+    rounds = 0
+    while rounds < 2 or time.time() < deadline:
+        t0 = time.time()
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state, images, targets)
+        _sync(loss)
+        best_ms = min(best_ms, (time.time() - t0) / 5 * 1000)
+        rounds += 1
+        if rounds >= 8:
+            break
+    out = {"step_ms": round(best_ms, 1), "batch": batch}
+    if flops:
+        out["mfu"] = round(flops / (best_ms / 1000) / (PEAK_TFLOPS_BF16 * 1e12), 3)
+        out["step_tflop"] = round(flops / 1e12, 2)
+    return out
+
+
+def main():
+    from catseg_tpu.configs import vitb384, vitl336, eval_preset
+
+    t_start = time.time()
+    primary = measure_eval(eval_preset(vitb384()), T=150, budget_s=60.0)
+    extra = {}
+    # secondary metrics, each gated on remaining wall budget and never
+    # allowed to sink the headline
+    secondary = [
+        ("vitl336_T150", lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=20.0)),
+        ("vitb384_T847_topk", lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=20.0)),
+        ("train_step_vitb384", lambda: measure_train(vitb384(), batch=4, budget_s=15.0)),
+    ]
+    for name, fn in secondary:
+        if time.time() - _T0 > TOTAL_BUDGET_S - 90:
+            extra[name] = "skipped: wall budget"
+            continue
+        _log(f"secondary: {name}")
+        try:
+            extra[name] = fn()
+        except Exception as e:
+            extra[name] = f"error: {type(e).__name__}: {e}"
 
     print(
         json.dumps(
             {
-                "metric": "sliding_window_eval_images_per_sec",
-                "value": round(ims, 3),
+                "metric": "sliding_window_eval_images_per_sec_best",
+                "value": primary["best"],
                 "unit": "images/sec",
-                "vs_baseline": round(ims / REFERENCE_4X3090_IMS, 3),
+                "vs_baseline": round(primary["best"] / REFERENCE_4X3090_IMS, 3),
+                "median": primary["median"],
+                "rounds": primary["rounds"],
+                "baseline_note": "4x3090 estimate: ~1.1 TFLOP/im / (35.6 TF32 TFLOPs x ~22% util) ~= 2 im/s/GPU",
+                "extra": extra,
+                "bench_wall_s": round(time.time() - t_start, 1),
             }
         )
     )

@@ -294,6 +294,88 @@ def aggregator_torch(sd, img_feats, text_feats, guidance, *, heads, window, pool
     return logit
 
 
+# -------------------------------------------- full CATSeg eval composition
+
+CLIP_PIXEL_MEAN = (122.7709383, 116.7460125, 104.09373615)
+CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
+
+
+def fuse_split_qkv(clip_sd):
+    """Released checkpoints carry split q/k/v_proj_weight (model_vpt.py:169-183);
+    the block oracles above consume fused in_proj_weight."""
+    if not any(k.endswith(".attn.q_proj_weight") for k in clip_sd):
+        return clip_sd
+    fused = {}
+    for k, v in clip_sd.items():
+        if k.endswith(".attn.q_proj_weight"):
+            p = k[: -len(".q_proj_weight")]
+            fused[p + ".in_proj_weight"] = torch.cat(
+                [clip_sd[p + ".q_proj_weight"], clip_sd[p + ".k_proj_weight"],
+                 clip_sd[p + ".v_proj_weight"]], dim=0)
+        elif not (k.endswith(".attn.k_proj_weight") or k.endswith(".attn.v_proj_weight")):
+            fused[k] = v
+    return fused
+
+
+def catseg_sliding_window_torch(
+    sd, image_hw3, text_feats, *, clip_patch, clip_layers, clip_heads,
+    clip_pretrain_grid, guidance_layers, heads, window, pad_len, num_layers,
+    clip_resolution=384, kernel=384, stride=256, out_res=640,
+    pool=(1, 1), attention_type="linear", act="quick_gelu",
+):
+    """Full sliding-window eval oracle (cat_seg_model.py:156-218).
+
+    sd: flat torch state dict with the released-checkpoint key names
+    (sem_seg_head.predictor.* / upsample{1,2}.*); image_hw3: (H, W, 3) float
+    RGB in [0, 255]; text_feats: (T, P, E).  Returns (out_res, out_res, T)
+    sigmoid probabilities.
+    """
+    clip_sd = {k[len("sem_seg_head.predictor.clip_model."):]: v for k, v in sd.items()
+               if k.startswith("sem_seg_head.predictor.clip_model.")}
+    agg_sd = {k[len("sem_seg_head.predictor.transformer."):]: v for k, v in sd.items()
+              if k.startswith("sem_seg_head.predictor.transformer.")}
+    clip_sd = fuse_split_qkv(clip_sd)
+
+    img = image_hw3.permute(2, 0, 1)[None].float()
+    im640 = F.interpolate(img, size=(out_res, out_res), mode="bilinear", align_corners=False)
+    unf = F.unfold(im640, kernel_size=kernel, stride=stride)  # (1, 3*k*k, L)
+    tiles = unf[0].T.reshape(-1, 3, kernel, kernel)  # '(C H W) L -> L C H W'
+    glob = F.interpolate(img, size=(kernel, kernel), mode="bilinear", align_corners=False)
+    batch = torch.cat([tiles, glob], dim=0)
+
+    mean = torch.tensor(CLIP_PIXEL_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(CLIP_PIXEL_STD).view(1, 3, 1, 1)
+    clip_in = (batch - mean) / std
+    clip_in = F.interpolate(clip_in, size=(clip_resolution, clip_resolution),
+                            mode="bilinear", align_corners=False)
+
+    feats, taps = clip_visual_dense(clip_sd, clip_in, patch=clip_patch, layers=clip_layers,
+                                    heads=clip_heads, pretrain_grid=clip_pretrain_grid,
+                                    taps=guidance_layers, act=act)
+    B = feats.shape[0]
+    G = clip_resolution // clip_patch
+    res3 = feats[:, 1:, :].reshape(B, G, G, -1)  # channels-last
+    res4 = taps[0][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res4 = F.conv_transpose2d(res4, sd["upsample1.weight"], sd["upsample1.bias"], stride=2)
+    res5 = taps[1][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res5 = F.conv_transpose2d(res5, sd["upsample2.weight"], sd["upsample2.bias"], stride=4)
+
+    tf = text_feats.unsqueeze(0).expand(B, -1, -1, -1)
+    logits = aggregator_torch(agg_sd, res3, tf, (res3, res4, res5), heads=heads,
+                              window=window, pool=pool, pad_len=pad_len,
+                              num_layers=num_layers, attention_type=attention_type)
+
+    logits = F.interpolate(logits, size=kernel, mode="bilinear", align_corners=False)
+    probs = logits.sigmoid()
+    glob_p = F.interpolate(probs[-1:], size=(out_res, out_res), mode="bilinear", align_corners=False)
+    tile_p = probs[:-1]
+    folded = F.fold(tile_p.flatten(1).T[None], (out_res, out_res), kernel_size=kernel, stride=stride)
+    div = F.fold(F.unfold(torch.ones(1, 1, out_res, out_res), kernel_size=kernel, stride=stride),
+                 (out_res, out_res), kernel_size=kernel, stride=stride)
+    out = (folded / div + glob_p) / 2.0
+    return out[0].permute(1, 2, 0)
+
+
 # ----------------------------------------------------------------- DINO ViT
 
 
