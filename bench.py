@@ -146,6 +146,19 @@ def measure_train(cfg, batch, budget_s=30.0):
 
 
 def main():
+    import os
+
+    import jax
+
+    # persistent compile cache: the ~200 s first-compile of the eval pipeline
+    # amortizes across bench invocations (the cache dir survives rounds)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from catseg_tpu.configs import vitb384, vitl336, eval_preset
 
     t_start = time.time()
@@ -159,7 +172,7 @@ def main():
         ("train_step_vitb384", lambda: measure_train(vitb384(), batch=4, budget_s=15.0)),
     ]
     for name, fn in secondary:
-        if time.time() - _T0 > TOTAL_BUDGET_S - 90:
+        if time.time() - _T0 > TOTAL_BUDGET_S - 45:
             extra[name] = "skipped: wall budget"
             continue
         _log(f"secondary: {name}")
