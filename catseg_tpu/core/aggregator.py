@@ -400,12 +400,13 @@ def _up_tail(
     """ConvT(k2 s2) -> DoubleConv [+ head conv] (model.py:540-555,632-634).
 
     x: (B*T, H, W, Cin); returns (B*T, H', W', mid), or fp32 (B*T, H', W')
-    when ``head`` is given.  Kept in plain XLA on purpose: a fully fused
-    per-slab Pallas version was tried and measured 3.8x SLOWER (70 ms vs
-    18.6 ms at eval shapes) — 3x3 convs at 32-64 channels pad the MXU's
-    128-wide tiles per tap, while XLA's conv emitter tiles them properly;
-    a VPU 9-tap head kernel also lost (13 ms vs ~3 ms).  B/T are taken for
-    signature parity with the fused aggregator stages.
+    when ``head`` is given.  Plain-XLA reference formulation; the production
+    forward uses :func:`_up_tail_s2d` (same math, space-to-depth layout).
+    A fully fused per-slab Pallas version was also tried and measured 3.8x
+    SLOWER (70 ms vs 18.6 ms at eval shapes) — 3x3 convs at 32-64 channels
+    pad the MXU's 128-wide tiles per tap; a VPU 9-tap head kernel also lost
+    (13 ms vs ~3 ms).  B/T are taken for signature parity with the fused
+    aggregator stages.
     """
     del B, T
     x = conv_transpose2d_nonoverlap(x, dp["up_w"], dp["up_b"], kernel=2)
@@ -413,6 +414,60 @@ def _up_tail(
     if head is not None:
         return conv2d(h, head["w"], head["b"], padding=1)[..., 0].astype(jnp.float32)
     return h
+
+
+def _up_tail_s2d(
+    x: jnp.ndarray,
+    guidances: tuple,
+    dp: dict,
+    head: dict | None,
+    B: int,
+    T: int,
+) -> jnp.ndarray:
+    """Space-to-depth formulation of :func:`_up_tail` (same math, equivalence
+    and gradient tested in tests/test_s2d.py).
+
+    The ConvT(k2 s2) is a matmul that *natively* emits S2D layout; both 3x3
+    convs (and the head) then run as 2x2-kernel convs on the half-resolution,
+    4x-channel image — K/N each 4x larger, so MXU tiles fill (vs the N=32
+    util ceiling of the plain form).  Measured at eval shapes in plain XLA it
+    LOSES (38 ms vs 12.4 ms for the decoder2 tail): the per-phase output
+    slicing/concat in conv3x3_s2d materializes four shifted HBM copies per
+    conv, swamping the MXU win.  Kept as the tested reference semantics for
+    an in-VMEM (Pallas) version, where those slices are register moves.  See
+    catseg_tpu/ops/s2d.py for the re-blocking derivation; reference semantics
+    per model.py:540-555.
+    """
+    from ..ops.s2d import (
+        conv3x3_s2d,
+        group_norm_s2d,
+        s2d_conv3x3_weights,
+        space_to_depth,
+        depth_to_space,
+        up_matmul_s2d,
+    )
+
+    del B
+    mid = dp["conv1_w"].shape[-1]
+    h = up_matmul_s2d(x, dp["up_w"], dp["up_b"])  # (N, H, W, 4*Cup) S2D
+    cup = dp["up_w"].shape[-1]
+    acc = conv3x3_s2d(h, s2d_conv3x3_weights(dp["conv1_w"][:, :, :cup]), mid)
+    ofs = cup
+    for g in guidances:
+        cg = g.shape[-1]
+        wg = s2d_conv3x3_weights(dp["conv1_w"][:, :, ofs : ofs + cg])
+        hg = conv3x3_s2d(space_to_depth(g).astype(x.dtype), wg, mid)
+        t = acc.shape[0] // hg.shape[0]
+        acc = (acc.reshape(hg.shape[0], t, *acc.shape[1:]) + hg[:, None]).reshape(acc.shape)
+        ofs += cg
+    acc = jax.nn.relu(group_norm_s2d(acc, mid // 16, dp["gn1"]["g"], dp["gn1"]["b"]))
+    acc = conv3x3_s2d(acc, s2d_conv3x3_weights(dp["conv2_w"]), mid)
+    acc = jax.nn.relu(group_norm_s2d(acc, mid // 16, dp["gn2"]["g"], dp["gn2"]["b"]))
+    if head is not None:
+        out = conv3x3_s2d(acc, s2d_conv3x3_weights(head["w"]), 1)
+        out = out.astype(jnp.float32) + head["b"].astype(jnp.float32)
+        return depth_to_space(out)[..., 0]
+    return depth_to_space(acc)
 
 
 def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:
