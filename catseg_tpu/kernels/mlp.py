@@ -21,20 +21,54 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 1024
 
 
-def _erf(x):
-    # Mosaic has no erf primitive; Abramowitz-Stegun 7.1.26 rational
-    # approximation (max abs error 1.5e-7 — far below bf16 resolution)
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+# Exact-GELU via a degree-12 Chebyshev fit of (Phi(x) - 1/2)/x in u = x^2
+# over [0, 4.5^2], converted to the power basis in the CENTERED variable
+# s = 2u/umax - 1 in [-1, 1] (Horner there is fp32-stable: max
+# |gelu_poly - gelu_exact| = 1.3e-6, far below bf16 resolution).  Replaces
+# an Abramowitz-Stegun erf path whose division + exp cost ~5 ms per eval
+# batch on the VPU (measured via a gelu->relu ablation of the aggregator);
+# this form is 12 FMAs + a few muls, no transcendentals.
+_GELU_XMAX = 4.5
+_GELU_POLY = (
+    1.569050020e-01, -7.718978624e-02, 5.469601621e-02, -4.019063036e-02,
+    2.834460400e-02, -1.856539993e-02, 1.117912158e-02, -6.291896369e-03,
+    3.220175148e-03, -1.300522897e-03, 5.308537172e-04, -3.776969095e-04,
+    1.505646393e-04,
+)
+# same construction for gelu'(x) = Phi(x) + x*pdf(x): fp32 max err 4.4e-6
+_GELU_GRAD_POLY = (
+    1.594303011e-01, -8.997133222e-02, 8.704568195e-02, -9.486115835e-02,
+    9.758453173e-02, -8.800746012e-02, 6.954649021e-02, -5.084235495e-02,
+    3.188483205e-02, -1.342544293e-02, 6.214908464e-03, -6.270765068e-03,
+    2.799085254e-03,
+)
+
+
+def _poly_phi(x, coeffs):
+    """0.5 + x * p(s(x^2)): Horner in the centered variable s in [-1, 1]."""
+    u = x * x
+    s = u * (2.0 / (_GELU_XMAX * _GELU_XMAX)) - 1.0
+    acc = jnp.full_like(s, coeffs[-1])
+    for c in coeffs[-2::-1]:
+        acc = acc * s + c
+    return 0.5 + x * acc
+
+
+def gelu_exact(x):
+    """torch nn.GELU (erf form) to 1.3e-6 abs, FMA-only (no div/exp)."""
+    phi = jnp.clip(_poly_phi(x, _GELU_POLY), 0.0, 1.0)
+    return jnp.where(x > _GELU_XMAX, x, jnp.where(x < -_GELU_XMAX, 0.0, x * phi))
+
+
+def gelu_exact_grad(x):
+    """d/dx of exact GELU to 4.4e-6 abs, FMA-only."""
+    g = _poly_phi(x, _GELU_GRAD_POLY)
+    return jnp.where(x > _GELU_XMAX, 1.0, jnp.where(x < -_GELU_XMAX, 0.0, g))
 
 
 def _act(x, kind: str):
     if kind == "gelu":
-        # exact GELU (torch nn.GELU default), erf approximated to 1.5e-7
-        return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
+        return gelu_exact(x)
     return jnp.maximum(x, 0.0)
 
 

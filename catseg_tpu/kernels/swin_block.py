@@ -177,13 +177,10 @@ def _ln_bwd(dy32, xhat, r, g):
 
 
 def _gelu_grad(h1):
-    """d/dx of exact GELU at f32 h1 (erf via the same approx as forward)."""
-    from .mlp import _erf
+    """d/dx of exact GELU at f32 h1 (FMA-only polynomial, see mlp.py)."""
+    from .mlp import gelu_exact_grad
 
-    u = h1 * (2.0**-0.5)
-    Phi = 0.5 * (1.0 + _erf(u))
-    phi = jnp.exp(-0.5 * h1 * h1) * 0.3989422804014327  # 1/sqrt(2*pi)
-    return Phi + h1 * phi
+    return gelu_exact_grad(h1)
 
 
 def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: int):
