@@ -471,9 +471,25 @@ def _up_tail_s2d(
 
 
 def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:
-    """(B, T, 24, 24, C) -> (B, T, 96, 96) per-class logits (model.py:674-681)."""
+    """(B, T, 24, 24, C) -> (B, T, 96, 96) per-class logits (model.py:674-681).
+
+    On TPU at the flagship geometry both Up stages + head run as one fused
+    phase-plane Pallas kernel (kernels/decoder.py; same math, ~1.7x faster
+    than the XLA conv path); other shapes use the plain-XLA _up_tail pair.
+    """
     B, T, H, W, C = x.shape
     x = x.reshape(B * T, H, W, C)
+    if guidance[0] is not None and guidance[1] is not None:
+        from ..kernels.decoder import decoder_kernel_applicable, fused_decoder
+        from ..parallel.mesh import active_mesh
+
+        # single-device TPU path only: a pallas_call does not SPMD-partition
+        # under an active mesh (the sharded paths keep the XLA decoder)
+        if decoder_kernel_applicable(x, agg["decoder1"], agg["decoder2"]) and (
+                jax.default_backend() == "tpu" and active_mesh() is None):
+            out = fused_decoder(x, guidance[0], guidance[1], agg["decoder1"],
+                                agg["decoder2"], agg["head"], B, T)
+            return out.reshape(B, T, out.shape[1], out.shape[2])
     g1 = (guidance[0],) if guidance[0] is not None else ()
     g2 = (guidance[1],) if guidance[1] is not None else ()
     x = _up_tail(x, g1, agg["decoder1"], None, B, T)

@@ -1,0 +1,71 @@
+"""Fused phase-plane decoder kernel vs the plain-XLA _up_tail composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from catseg_tpu.configs import eval_preset, vitb384
+from catseg_tpu.core import aggregator as A
+from catseg_tpu.core import catseg
+from catseg_tpu.kernels.decoder import (
+    decoder_kernel_applicable,
+    from_planes,
+    fused_decoder,
+    to_planes,
+)
+
+
+@pytest.fixture(scope="module")
+def agg_params():
+    cfg = eval_preset(vitb384())
+    p = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    return p["agg"]
+
+
+def test_plane_roundtrip():
+    rng = np.random.RandomState(0)
+    for depth, hw in ((0, 24), (1, 48), (2, 96)):
+        x = jnp.asarray(rng.randn(2, hw, hw, 3), jnp.float32)
+        got = from_planes(to_planes(x, depth), depth)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(x))
+
+
+def _reference(x, g1, g2, d1, d2, head, B, T):
+    h = A._up_tail(x, (g1,), d1, None, B, T)
+    return A._up_tail(h, (g2,), d2, head, B, T)
+
+
+def test_fused_decoder_matches_xla(agg_params):
+    rng = np.random.RandomState(1)
+    B, T = 2, 2
+    d1, d2, head = agg_params["decoder1"], agg_params["decoder2"], agg_params["head"]
+    x = jnp.asarray(rng.randn(B * T, 24, 24, 128) * 0.5, jnp.float32)
+    g1 = jnp.asarray(rng.randn(B, 48, 48, 32) * 0.5, jnp.float32)
+    g2 = jnp.asarray(rng.randn(B, 96, 96, 16) * 0.5, jnp.float32)
+    assert decoder_kernel_applicable(x, d1, d2)
+    want = _reference(x, g1, g2, d1, d2, head, B, T)
+    got = fused_decoder(x, g1, g2, d1, d2, head, B, T)
+    assert got.shape == want.shape == (B * T, 96, 96)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5, rtol=1e-5)
+
+
+def test_fused_decoder_gradients(agg_params):
+    """The custom VJP recomputes through the XLA reference: grads must match."""
+    rng = np.random.RandomState(2)
+    B, T = 1, 2
+    d1, d2, head = agg_params["decoder1"], agg_params["decoder2"], agg_params["head"]
+    x = jnp.asarray(rng.randn(B * T, 24, 24, 128) * 0.3, jnp.float32)
+    g1 = jnp.asarray(rng.randn(B, 48, 48, 32) * 0.3, jnp.float32)
+    g2 = jnp.asarray(rng.randn(B, 96, 96, 16) * 0.3, jnp.float32)
+
+    def loss_fused(x, d1, d2):
+        return jnp.sum(jnp.tanh(fused_decoder(x, g1, g2, d1, d2, head, B, T) * 0.1))
+
+    def loss_ref(x, d1, d2):
+        return jnp.sum(jnp.tanh(_reference(x, g1, g2, d1, d2, head, B, T) * 0.1))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, d1, d2)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, d1, d2)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
