@@ -125,6 +125,10 @@ class CATSegConfig:
     color_aug: bool = True
 
     compute_dtype: str = "bfloat16"
+    # fused Pallas decoder (kernels/decoder.py): a forward-path win; its
+    # backward recomputes through the XLA reference, so gradient steps
+    # (which store forward intermediates — no remat here) disable it
+    fused_decoder: bool = True
     fusion: FusionConfig | None = None
 
     @property

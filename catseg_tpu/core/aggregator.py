@@ -470,16 +470,18 @@ def _up_tail_s2d(
     return depth_to_space(acc)
 
 
-def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict) -> jnp.ndarray:
+def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict,
+                 use_fused: bool = True) -> jnp.ndarray:
     """(B, T, 24, 24, C) -> (B, T, 96, 96) per-class logits (model.py:674-681).
 
     On TPU at the flagship geometry both Up stages + head run as one fused
     phase-plane Pallas kernel (kernels/decoder.py; same math, ~1.7x faster
     than the XLA conv path); other shapes use the plain-XLA _up_tail pair.
+    ``use_fused=False`` (training: cfg.fused_decoder) keeps the XLA path.
     """
     B, T, H, W, C = x.shape
     x = x.reshape(B * T, H, W, C)
-    if guidance[0] is not None and guidance[1] is not None:
+    if use_fused and guidance[0] is not None and guidance[1] is not None:
         from ..kernels.decoder import decoder_kernel_applicable, fused_decoder
         from ..parallel.mesh import active_mesh
 
@@ -561,7 +563,8 @@ def aggregator_forward(
         x = class_aggregation(x, text_guid, layer, cfg)
         x = constrain_class_axis(x)
 
-    logits = conv_decoder(x, dec_guid, agg)
+    logits = conv_decoder(x, dec_guid, agg,
+                          use_fused=getattr(cfg, "fused_decoder", True))
     if classes is not None:
         logits = scatter_full_logits(logits, classes, T)
     return logits

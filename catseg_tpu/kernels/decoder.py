@@ -226,52 +226,53 @@ def _kernel(x_ref, hg1_ref, hg2_ref,
             c12_ref, gn12g_ref, gn12b_ref,
             up2_ref, up2b_ref, c21_ref, gn21g_ref, gn21b_ref,
             c22_ref, gn22g_ref, gn22b_ref,
-            hw_ref, hb_ref, o_ref, *, dtype):
+            hw_ref, hb_ref, o_ref, *, dtype, slabs: int):
     f32 = jnp.float32
     valid, left, right = _lane_masks()
+    up1 = up1_ref[:]                               # (4, 96, 128)
+    up2 = up2_ref[:]                               # (4, 48, 64)
 
-    # ---- stage 1: up (24 -> 48, phased) + DoubleConv at the 48-level
-    x = x_ref[0]                               # (128, L) bf16, dense base grid
-    up1 = up1_ref[:]                           # (4, 96, 128)
-    u1 = jnp.concatenate([
-        jax.lax.dot_general(up1[p].astype(x.dtype), x, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-        for p in range(4)], axis=0)            # (4*96, L)
-    u1 = u1 + jnp.tile(up1b_ref[:], (4, 1))    # bias (96,1) tiled over planes
-    u1 = jnp.where(valid, u1, 0.0)
+    for s in range(slabs):
+        # ---- stage 1: up (24 -> 48, phased) + DoubleConv at the 48-level
+        x = x_ref[s]                               # (128, L), dense base grid
+        u1 = jnp.concatenate([
+            jax.lax.dot_general(up1[p].astype(x.dtype), x, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+            for p in range(4)], axis=0)            # (4*96, L)
+        u1 = u1 + jnp.tile(up1b_ref[:], (4, 1))    # bias (96,1) tiled over planes
+        u1 = jnp.where(valid, u1, 0.0)
 
-    h = _phased_conv(u1, 96, 1, c11_ref, left, right, dtype)   # (4*64, L)
-    h = h + hg1_ref[0].astype(f32)             # guidance half of conv1 + bias
-    h = _group_norm_relu(h, 64, 4, gn11g_ref, gn11b_ref, valid, 64 // 16)
+        h = _phased_conv(u1, 96, 1, c11_ref, left, right, dtype)   # (4*64, L)
+        h = h + hg1_ref[0].astype(f32)             # guidance half of conv1
+        h = _group_norm_relu(h, 64, 4, gn11g_ref, gn11b_ref, valid, 64 // 16)
 
-    h = _phased_conv(h, 64, 1, c12_ref, left, right, dtype)    # (4*64, L)
-    h = _group_norm_relu(h, 64, 4, gn12g_ref, gn12b_ref, valid, 64 // 16)
+        h = _phased_conv(h, 64, 1, c12_ref, left, right, dtype)    # (4*64, L)
+        h = _group_norm_relu(h, 64, 4, gn12g_ref, gn12b_ref, valid, 64 // 16)
 
-    # ---- stage 2: up (48 -> 96 => 16 planes) + DoubleConv at the 96-level
-    up2 = up2_ref[:]                           # (4, 48, 64)
-    planes1 = [h[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
-    u2_parts = []
-    for py2 in range(4):                       # depth-2 phase rows 2a+alpha
-        a, al = py2 // 2, py2 % 2
-        for px2 in range(4):
-            b, be = px2 // 2, px2 % 2
-            u2_parts.append(jax.lax.dot_general(
-                up2[al * 2 + be].astype(dtype), planes1[a * 2 + b],
-                (((1,), (0,)), ((), ())), preferred_element_type=f32))
-    u2 = jnp.concatenate(u2_parts, axis=0)     # (16*48, L)
-    u2 = u2 + jnp.tile(up2b_ref[:], (16, 1))
-    u2 = jnp.where(valid, u2, 0.0)
+        # ---- stage 2: up (48 -> 96 => 16 planes) + DoubleConv at the 96-level
+        planes1 = [h[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
+        u2_parts = []
+        for py2 in range(4):                       # depth-2 phase rows 2a+alpha
+            a, al = py2 // 2, py2 % 2
+            for px2 in range(4):
+                b, be = px2 // 2, px2 % 2
+                u2_parts.append(jax.lax.dot_general(
+                    up2[al * 2 + be].astype(dtype), planes1[a * 2 + b],
+                    (((1,), (0,)), ((), ())), preferred_element_type=f32))
+        u2 = jnp.concatenate(u2_parts, axis=0)     # (16*48, L)
+        u2 = u2 + jnp.tile(up2b_ref[:], (16, 1))
+        u2 = jnp.where(valid, u2, 0.0)
 
-    h2 = _phased_conv(u2, 48, 2, c21_ref, left, right, dtype)  # (16*32, L)
-    h2 = h2 + hg2_ref[0].astype(f32)
-    h2 = _group_norm_relu(h2, 32, 16, gn21g_ref, gn21b_ref, valid, 32 // 16)
+        h2 = _phased_conv(u2, 48, 2, c21_ref, left, right, dtype)  # (16*32, L)
+        h2 = h2 + hg2_ref[0].astype(f32)
+        h2 = _group_norm_relu(h2, 32, 16, gn21g_ref, gn21b_ref, valid, 32 // 16)
 
-    h2 = _phased_conv(h2, 32, 2, c22_ref, left, right, dtype)  # (16*32, L)
-    h2 = _group_norm_relu(h2, 32, 16, gn22g_ref, gn22b_ref, valid, 32 // 16)
+        h2 = _phased_conv(h2, 32, 2, c22_ref, left, right, dtype)  # (16*32, L)
+        h2 = _group_norm_relu(h2, 32, 16, gn22g_ref, gn22b_ref, valid, 32 // 16)
 
-    # ---- head: 3x3, 32 -> 1 at the 96-level
-    out = _phased_conv(h2, 32, 2, hw_ref, left, right, dtype)  # (16*1, L)
-    o_ref[0] = (out + hb_ref[:]).astype(o_ref.dtype)
+        # ---- head: 3x3, 32 -> 1 at the 96-level
+        out = _phased_conv(h2, 32, 2, hw_ref, left, right, dtype)  # (16*1, L)
+        o_ref[s] = (out + hb_ref[:]).astype(o_ref.dtype)
 
 
 # ------------------------------------------------------------------ driver
@@ -328,16 +329,22 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
     hw = _conv_w_mat(head["w"]).astype(dtype)                     # (1, 9*32)
 
     col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
-    kernel = functools.partial(_kernel, dtype=dtype)
+    # Slabs per grid step: amortizes per-step DMA/dispatch overhead.  S must
+    # divide T so a step never spans two images (the hg blocks are per-image).
+    # Capped at 2: the body is fully unrolled per slab and Mosaic compile
+    # time grows superlinearly with it (S=5 took >20 min on the v5e).
+    S = next(s for s in (2, 1) if T % s == 0 and N % s == 0)
+    kernel = functools.partial(_kernel, dtype=dtype, slabs=S)
     interpret = jax.default_backend() != "tpu"
+    TS = T // S
 
     out = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // S,),
         in_specs=[
-            pl.BlockSpec((1, 128, L), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 4 * 64, L), lambda i: (i // T, 0, 0)),
-            pl.BlockSpec((1, 16 * 32, L), lambda i: (i // T, 0, 0)),
+            pl.BlockSpec((S, 128, L), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4 * 64, L), lambda i: (i // TS, 0, 0)),
+            pl.BlockSpec((1, 16 * 32, L), lambda i: (i // TS, 0, 0)),
             pl.BlockSpec((4, 96, 128), lambda i: (0, 0, 0)),
             pl.BlockSpec((96, 1), lambda i: (0, 0)),
             pl.BlockSpec((64, 9 * 96), lambda i: (0, 0)),
@@ -357,7 +364,7 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
             pl.BlockSpec((1, 9 * 32), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 16, L), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((S, 16, L), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 16, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
