@@ -125,9 +125,8 @@ class CATSegConfig:
     color_aug: bool = True
 
     compute_dtype: str = "bfloat16"
-    # fused Pallas decoder (kernels/decoder.py): a forward-path win; its
-    # backward recomputes through the XLA reference, so gradient steps
-    # (which store forward intermediates — no remat here) disable it
+    # fused phase-plane Pallas decoder (kernels/decoder.py), forward and
+    # analytic backward; False falls back to the plain-XLA _up_tail pair
     fused_decoder: bool = True
     fusion: FusionConfig | None = None
 

@@ -109,6 +109,19 @@ def _conv_w_mat(w: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(kh * kw * cin, cout).T
 
 
+def _conv_w_mat_inv(wm: jnp.ndarray, cin: int) -> jnp.ndarray:
+    """(Cout, 9*Cin) -> (3, 3, Cin, Cout): inverse of :func:`_conv_w_mat`."""
+    cout = wm.shape[0]
+    return wm.T.reshape(3, 3, cin, cout)
+
+
+def _conv_w_mat_T(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (Cin, 9*Cout) weights of the *input-gradient*
+    conv: dX = conv3x3(dY, flip(W)^T) — taps spatially flipped, in/out
+    channels swapped."""
+    return _conv_w_mat(w[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
 def _up_w_planes(w: jnp.ndarray) -> jnp.ndarray:
     """(Cin, 2, 2, Cout) ConvT weights -> (4, Cout, Cin): plane (a, b) block."""
     cin, _, _, cout = w.shape
@@ -158,15 +171,13 @@ def _rolled(plane_f32, cy: int, cx: int, left, right):
     return x
 
 
-def _phased_conv(x_f32, C: int, depth: int, w_ref, left, right, dtype):
-    """3x3 'same' conv at the native grid of `depth`, on phased planes.
+def _phased_xcols(x_f32, C: int, depth: int, left, right, dtype):
+    """Per-output-plane im2col stacks (9C, L) for a 3x3 conv on phased planes.
 
-    x_f32: (P*C, L) fp32 planes (pad regions zero).  w_ref: (Cout, 9C).
-    Returns (P*Cout, L) fp32.  Rolled variants are memoized: across all
-    output phases only ~6 distinct (plane, shift) pairs exist per axis.
+    Rolled variants are memoized: across all output phases only ~6 distinct
+    (plane, shift) pairs exist per axis, so CSE keeps the roll count low.
     """
     P = (1 << depth) ** 2
-    w = w_ref[:].astype(dtype)
     planes = [x_f32[p * C:(p + 1) * C] for p in range(P)]
     cache = {}
 
@@ -176,26 +187,32 @@ def _phased_conv(x_f32, C: int, depth: int, w_ref, left, right, dtype):
             cache[key] = _rolled(planes[sp], cy, cx, left, right).astype(dtype)
         return cache[key]
 
-    outs = []
-    for taps in _tap_sources(depth):
-        xcol = jnp.concatenate([rolled(*t) for t in taps], axis=0)
-        outs.append(jax.lax.dot_general(
-            w, xcol, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
-    return jnp.concatenate(outs, axis=0)
+    return [jnp.concatenate([rolled(*t) for t in taps], axis=0)
+            for taps in _tap_sources(depth)]
 
 
-def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int):
-    """GroupNorm(n_groups, C) + ReLU over phased planes, zeroing pad regions.
+def _phased_conv(x_f32, C: int, depth: int, w, left, right, dtype):
+    """3x3 'same' conv at the native grid of `depth`, on phased planes.
 
-    h: (P*C, L) fp32 conv output (+bias/guidance already added).  Stats run
-    over each channel group across ALL planes and valid lanes (the planes
-    jointly tile the native image).  g/b refs: (C, 1).
+    x_f32: (P*C, L) fp32 planes (pad regions zero).  w: (Cout, 9C) array.
+    Returns (P*Cout, L) fp32.
+    """
+    w = w.astype(dtype)
+    return jnp.concatenate([
+        jax.lax.dot_general(w, xcol, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for xcol in _phased_xcols(x_f32, C, depth, left, right, dtype)], axis=0)
+
+
+def _gn_stats(h, C: int, P: int, valid, n_groups: int):
+    """Per-group (mean, rsqrt(var + eps)) over phased planes + valid lanes.
+
+    Row-block slices + scalar reductions: Mosaic's layout inference aborts
+    on multi-axis keepdims reductions over >2D reshapes (seen on v5e).
     """
     hm = jnp.where(valid, h, 0.0)
     gs = C // n_groups
     cnt = float(P * gs * (BASE * BASE))
-    # Row-block slices + scalar reductions: Mosaic's layout inference aborts
-    # on multi-axis keepdims reductions over >2D reshapes (seen on v5e).
     stats = []
     for g in range(n_groups):
         s1 = jnp.float32(0.0)
@@ -207,6 +224,20 @@ def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int):
         mean = s1 / cnt
         var = s2 / cnt - mean * mean
         stats.append((mean, jax.lax.rsqrt(var + 1e-5)))
+    return stats
+
+
+def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int,
+                     stats=None):
+    """GroupNorm(n_groups, C) + ReLU over phased planes, zeroing pad regions.
+
+    h: (P*C, L) fp32 conv output (+bias/guidance already added).  Stats run
+    over each channel group across ALL planes and valid lanes (the planes
+    jointly tile the native image).  g/b refs: (C, 1).
+    """
+    if stats is None:
+        stats = _gn_stats(h, C, P, valid, n_groups)
+    gs = C // n_groups
     gain = g_ref[:].astype(jnp.float32)
     bias = b_ref[:].astype(jnp.float32)
     out = []
@@ -221,58 +252,268 @@ def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int):
     return jnp.where(valid, y, 0.0)
 
 
-def _kernel(x_ref, hg1_ref, hg2_ref,
-            up1_ref, up1b_ref, c11_ref, gn11g_ref, gn11b_ref,
-            c12_ref, gn12g_ref, gn12b_ref,
-            up2_ref, up2b_ref, c21_ref, gn21g_ref, gn21b_ref,
-            c22_ref, gn22g_ref, gn22b_ref,
-            hw_ref, hb_ref, o_ref, *, dtype, slabs: int):
-    f32 = jnp.float32
-    valid, left, right = _lane_masks()
-    up1 = up1_ref[:]                               # (4, 96, 128)
-    up2 = up2_ref[:]                               # (4, 48, 64)
+def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
+                 n_groups: int):
+    """Backward of _group_norm_relu given upstream dh and the pre-GN input c.
 
+    Returns (dc, dgain (C, 1), dbias (C, 1)); all fp32.
+    """
+    gs = C // n_groups
+    cnt = float(P * gs * (BASE * BASE))
+    gain = g_ref[:].astype(jnp.float32)
+    bias = b_ref[:].astype(jnp.float32)
+    dys, xhats = {}, {}
+    gsums = [(jnp.float32(0.0), jnp.float32(0.0)) for _ in range(n_groups)]
+    dgain = [None] * n_groups
+    dbias = [None] * n_groups
+    for p in range(P):
+        for g in range(n_groups):
+            mean, inv = stats[g]
+            r0, r1 = p * C + g * gs, p * C + (g + 1) * gs
+            gg = gain[g * gs:(g + 1) * gs]
+            bb = bias[g * gs:(g + 1) * gs]
+            xhat = (c[r0:r1] - mean) * inv
+            y = xhat * gg + bb
+            dy = jnp.where(valid & (y > 0), dh[r0:r1], 0.0)
+            dyg = dy * gg
+            s1, s2 = gsums[g]
+            gsums[g] = (s1 + jnp.sum(dyg), s2 + jnp.sum(dyg * xhat))
+            dg_rows = jnp.sum(dy * xhat, axis=1, keepdims=True)
+            db_rows = jnp.sum(dy, axis=1, keepdims=True)
+            dgain[g] = dg_rows if dgain[g] is None else dgain[g] + dg_rows
+            dbias[g] = db_rows if dbias[g] is None else dbias[g] + db_rows
+            dys[(p, g)] = dyg
+            xhats[(p, g)] = xhat
+    dc = []
+    for p in range(P):
+        for g in range(n_groups):
+            _, inv = stats[g]
+            s1, s2 = gsums[g]
+            dyg, xhat = dys[(p, g)], xhats[(p, g)]
+            dc.append(jnp.where(
+                valid, inv * (dyg - s1 / cnt - xhat * (s2 / cnt)), 0.0))
+    return (jnp.concatenate(dc, axis=0),
+            jnp.concatenate(dgain, axis=0),
+            jnp.concatenate(dbias, axis=0))
+
+
+def _up1_planes(x, up1, up1b_ref, valid, dtype):
+    """x (128, L) -> u1 (4*96, L) fp32: the 24->48 ConvT as phase matmuls."""
+    u1 = jnp.concatenate([
+        jax.lax.dot_general(up1[p].astype(x.dtype), x, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for p in range(4)], axis=0)
+    u1 = u1 + jnp.tile(up1b_ref[:], (4, 1))
+    return jnp.where(valid, u1, 0.0)
+
+
+# depth-2 plane (py2*4 + px2) draws ConvT plane (al*2+be) applied to stage-1
+# plane (a*2+b), with py2 = 2a + al, px2 = 2b + be
+_UP2_MAP = [((py2 % 2) * 2 + px2 % 2, (py2 // 2) * 2 + px2 // 2)
+            for py2 in range(4) for px2 in range(4)]
+
+
+def _up2_planes(planes1, up2, up2b_ref, valid, dtype):
+    """4 stage-1 planes (64, L) bf16 -> u2 (16*48, L) fp32 (48->96 ConvT)."""
+    u2 = jnp.concatenate([
+        jax.lax.dot_general(up2[w].astype(dtype), planes1[src],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        for (w, src) in _UP2_MAP], axis=0)
+    u2 = u2 + jnp.tile(up2b_ref[:], (16, 1))
+    return jnp.where(valid, u2, 0.0)
+
+
+def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False):
+    """One slab's full decoder forward on phase planes.
+
+    W: dict of loaded weight arrays/refs (refs for the (C,1) columns).
+    Returns the (16, L) head output planes, plus every pre-GN activation and
+    GN stats when ``keep`` (for the backward's reverse sweep).
+    """
+    valid, left, right = masks
+    u1 = _up1_planes(x, W["up1"], W["up1b"], valid, dtype)
+    c1 = _phased_conv(u1, 96, 1, W["c11"], left, right, dtype) + hg1
+    st1 = _gn_stats(c1, 64, 4, valid, 4)
+    h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1)
+    c2 = _phased_conv(h1, 64, 1, W["c12"], left, right, dtype)
+    st2 = _gn_stats(c2, 64, 4, valid, 4)
+    h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2)
+
+    planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
+    u2 = _up2_planes(planes1, W["up2"], W["up2b"], valid, dtype)
+    c3 = _phased_conv(u2, 48, 2, W["c21"], left, right, dtype) + hg2
+    st3 = _gn_stats(c3, 32, 16, valid, 2)
+    h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3)
+    c4 = _phased_conv(h3, 32, 2, W["c22"], left, right, dtype)
+    st4 = _gn_stats(c4, 32, 16, valid, 2)
+    h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4)
+
+    out = _phased_conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
+    if keep:
+        return out, (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4)
+    return out
+
+
+_W_KEYS = ("up1", "up1b", "c11", "gn11g", "gn11b", "c12", "gn12g", "gn12b",
+           "up2", "up2b", "c21", "gn21g", "gn21b", "c22", "gn22g", "gn22b",
+           "hw", "hb")
+
+
+def _load_weights(refs):
+    """Weight refs -> dict; 2D matmul weights loaded, (C,1) columns kept as
+    refs (loaded lazily where used)."""
+    W = dict(zip(_W_KEYS, refs))
+    for k in ("up1", "up2", "c11", "c12", "c21", "c22", "hw"):
+        W[k] = W[k][:]
+    return W
+
+
+def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int):
+    refs, o_ref = rest[:-1], rest[-1]
+    masks = _lane_masks()
+    W = _load_weights(refs)
     for s in range(slabs):
-        # ---- stage 1: up (24 -> 48, phased) + DoubleConv at the 48-level
-        x = x_ref[s]                               # (128, L), dense base grid
-        u1 = jnp.concatenate([
-            jax.lax.dot_general(up1[p].astype(x.dtype), x, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)
-            for p in range(4)], axis=0)            # (4*96, L)
-        u1 = u1 + jnp.tile(up1b_ref[:], (4, 1))    # bias (96,1) tiled over planes
-        u1 = jnp.where(valid, u1, 0.0)
+        out = _slab_forward(x_ref[s], hg1_ref[0].astype(jnp.float32),
+                            hg2_ref[0].astype(jnp.float32), W, masks, dtype)
+        o_ref[s] = out.astype(o_ref.dtype)
 
-        h = _phased_conv(u1, 96, 1, c11_ref, left, right, dtype)   # (4*64, L)
-        h = h + hg1_ref[0].astype(f32)             # guidance half of conv1
-        h = _group_norm_relu(h, 64, 4, gn11g_ref, gn11b_ref, valid, 64 // 16)
 
-        h = _phased_conv(h, 64, 1, c12_ref, left, right, dtype)    # (4*64, L)
-        h = _group_norm_relu(h, 64, 4, gn12g_ref, gn12b_ref, valid, 64 // 16)
+# ----------------------------------------------------------------- backward
 
-        # ---- stage 2: up (48 -> 96 => 16 planes) + DoubleConv at the 96-level
-        planes1 = [h[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
-        u2_parts = []
-        for py2 in range(4):                       # depth-2 phase rows 2a+alpha
-            a, al = py2 // 2, py2 % 2
-            for px2 in range(4):
-                b, be = px2 // 2, px2 % 2
-                u2_parts.append(jax.lax.dot_general(
-                    up2[al * 2 + be].astype(dtype), planes1[a * 2 + b],
-                    (((1,), (0,)), ((), ())), preferred_element_type=f32))
-        u2 = jnp.concatenate(u2_parts, axis=0)     # (16*48, L)
-        u2 = u2 + jnp.tile(up2b_ref[:], (16, 1))
-        u2 = jnp.where(valid, u2, 0.0)
 
-        h2 = _phased_conv(u2, 48, 2, c21_ref, left, right, dtype)  # (16*32, L)
-        h2 = h2 + hg2_ref[0].astype(f32)
-        h2 = _group_norm_relu(h2, 32, 16, gn21g_ref, gn21b_ref, valid, 32 // 16)
+def _conv_bwd(dY, X, wt, cin: int, cout: int, depth: int, masks, dtype):
+    """Backward of _phased_conv.  dY (P*cout, L) fp32, X (P*cin, L) fp32
+    pre-conv input, wt = _conv_w_mat_T weights (cin, 9*cout).
 
-        h2 = _phased_conv(h2, 32, 2, c22_ref, left, right, dtype)  # (16*32, L)
-        h2 = _group_norm_relu(h2, 32, 16, gn22g_ref, gn22b_ref, valid, 32 // 16)
+    Returns (dX (P*cin, L) fp32, dW (cout, 9*cin) fp32).  The input gradient
+    is itself a phased 3x3 conv (flipped taps / transposed channels) so it
+    reuses the forward machinery; the weight gradient contracts each output
+    plane against its im2col stack over the lane dim.
+    """
+    valid, left, right = masks
+    dYm = jnp.where(valid, dY, 0.0)
+    dX = _phased_conv(dYm, cout, depth, wt, left, right, dtype)
+    P = (1 << depth) ** 2
+    xcols = _phased_xcols(X, cin, depth, left, right, dtype)
+    dW = jnp.float32(0.0)
+    for p in range(P):
+        dYp = dYm[p * cout:(p + 1) * cout].astype(dtype)
+        dW = dW + jax.lax.dot_general(
+            dYp, xcols[p], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return dX, dW
 
-        # ---- head: 3x3, 32 -> 1 at the 96-level
-        out = _phased_conv(h2, 32, 2, hw_ref, left, right, dtype)  # (16*1, L)
-        o_ref[s] = (out + hb_ref[:]).astype(o_ref.dtype)
+
+def _plane_bias_grad(d, C: int, P: int):
+    """(P*C, L) fp32 -> (C, 1): per-channel sums across planes and lanes."""
+    acc = None
+    for p in range(P):
+        rows = jnp.sum(d[p * C:(p + 1) * C], axis=1, keepdims=True)
+        acc = rows if acc is None else acc + rows
+    return acc
+
+
+def _bwd_kernel(x_ref, hg1_ref, hg2_ref, do_ref, *rest, dtype, t_steps: int):
+    (refs, dx_ref, dhg1_ref, dhg2_ref,
+     dup1_ref, dup1b_ref, dc11_ref, dgn11g_ref, dgn11b_ref,
+     dc12_ref, dgn12g_ref, dgn12b_ref,
+     dup2_ref, dup2b_ref, dc21_ref, dgn21g_ref, dgn21b_ref,
+     dc22_ref, dgn22g_ref, dgn22b_ref,
+     dhw_ref, dhb_ref) = rest[:-21], *rest[-21:]
+    masks = _lane_masks()
+    valid, left, right = masks
+    f32 = jnp.float32
+    W = _load_weights(refs[:len(_W_KEYS)])
+    # transposed-conv weights for the input gradients (precomputed outside)
+    wt11, wt12, wt21, wt22, wth = (r[:] for r in refs[len(_W_KEYS):])
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init_weight_grads():
+        for r in (dup1_ref, dup1b_ref, dc11_ref, dgn11g_ref, dgn11b_ref,
+                  dc12_ref, dgn12g_ref, dgn12b_ref, dup2_ref, dup2b_ref,
+                  dc21_ref, dgn21g_ref, dgn21b_ref, dc22_ref, dgn22g_ref,
+                  dgn22b_ref, dhw_ref, dhb_ref):
+            r[:] = jnp.zeros_like(r)
+
+    @pl.when(i % t_steps == 0)
+    def _init_image_grads():
+        dhg1_ref[0] = jnp.zeros_like(dhg1_ref[0])
+        dhg2_ref[0] = jnp.zeros_like(dhg2_ref[0])
+
+    x = x_ref[0]
+    hg1 = hg1_ref[0].astype(f32)
+    hg2 = hg2_ref[0].astype(f32)
+    _, saved = _slab_forward(x, hg1, hg2, W, masks, dtype, keep=True)
+    (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4) = saved
+
+    dout = jnp.where(valid, do_ref[0].astype(f32), 0.0)   # (16, L)
+    dhb_ref[:] += jnp.sum(dout)
+
+    # head
+    dh4, dhw = _conv_bwd(dout, h4, wth, 32, 1, 2, masks, dtype)
+    dhw_ref[:] += dhw
+    # stage-2 conv2 + GN
+    dc4, dg, db = _gn_relu_bwd(dh4, c4, st4, W["gn22g"], W["gn22b"], valid, 32, 16, 2)
+    dgn22g_ref[:] += dg
+    dgn22b_ref[:] += db
+    dh3, dw = _conv_bwd(dc4, h3, wt22, 32, 32, 2, masks, dtype)
+    dc22_ref[:] += dw
+    # stage-2 conv1 + GN (+ guidance)
+    dc3, dg, db = _gn_relu_bwd(dh3, c3, st3, W["gn21g"], W["gn21b"], valid, 32, 16, 2)
+    dgn21g_ref[:] += dg
+    dgn21b_ref[:] += db
+    dhg2_ref[0] += dc3.astype(dhg2_ref.dtype)
+    du2, dw = _conv_bwd(dc3, u2, wt21, 48, 32, 2, masks, dtype)
+    dc21_ref[:] += dw
+    du2 = jnp.where(valid, du2, 0.0)
+    dup2b_ref[:] += _plane_bias_grad(du2, 48, 16)
+    # up2: dh2 (stage-1 output grad) + dup2 weights.  Each depth-2 plane i2
+    # is up2[w] @ planes1[src]; its grad flows back as up2[w]^T @ du2_plane
+    # (contract the ConvT's 48 output channels) into stage-1 plane src.
+    planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
+    dh2p = [jnp.float32(0.0)] * 4
+    dup2_acc = [jnp.float32(0.0)] * 4
+    for i2, (w_idx, src) in enumerate(_UP2_MAP):
+        dpl = du2[i2 * 48:(i2 + 1) * 48].astype(dtype)
+        dh2p[src] = dh2p[src] + jax.lax.dot_general(
+            W["up2"][w_idx].astype(dtype), dpl, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dup2_acc[w_idx] = dup2_acc[w_idx] + jax.lax.dot_general(
+            dpl, planes1[src], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+    dh2_all = jnp.concatenate(dh2p, axis=0)       # (4*64, L)
+    for w_idx in range(4):
+        dup2_ref[w_idx] += dup2_acc[w_idx]
+
+    # stage-1 conv2 + GN
+    dc2, dg, db = _gn_relu_bwd(dh2_all, c2, st2, W["gn12g"], W["gn12b"], valid, 64, 4, 4)
+    dgn12g_ref[:] += dg
+    dgn12b_ref[:] += db
+    dh1, dw = _conv_bwd(dc2, h1, wt12, 64, 64, 1, masks, dtype)
+    dc12_ref[:] += dw
+    # stage-1 conv1 + GN (+ guidance)
+    dc1, dg, db = _gn_relu_bwd(dh1, c1, st1, W["gn11g"], W["gn11b"], valid, 64, 4, 4)
+    dgn11g_ref[:] += dg
+    dgn11b_ref[:] += db
+    dhg1_ref[0] += dc1.astype(dhg1_ref.dtype)
+    du1, dw = _conv_bwd(dc1, u1, wt11, 96, 64, 1, masks, dtype)
+    dc11_ref[:] += dw
+    du1 = jnp.where(valid, du1, 0.0)
+    dup1b_ref[:] += _plane_bias_grad(du1, 96, 4)
+    # up1: dx + dup1 weights
+    dx = jnp.float32(0.0)
+    for p in range(4):
+        dpl = du1[p * 96:(p + 1) * 96].astype(dtype)
+        dx = dx + jax.lax.dot_general(
+            W["up1"][p].astype(dtype), dpl, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dup1_ref[p] += jax.lax.dot_general(
+            dpl, x.astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 # ------------------------------------------------------------------ driver
@@ -285,15 +526,20 @@ def _xla_reference(x, g1, g2, d1, d2, head, B, T):
     return _up_tail(h, (g2,) if g2 is not None else (), d2, head, B, T)
 
 
-def _prep_guidance(dp, g, depth: int, T: int, cup: int, dtype):
-    """Per-image guidance half of conv1 (+ conv1 bias-free) as phased planes,
-    broadcast over the class axis at the kernel's index_map (not here)."""
+def _prep_guidance_w(wg, g, depth: int, dtype):
+    """conv1's per-image guidance half as phased fp32 planes (differentiable
+    in both the guidance slice of conv1_w and the guidance tensor)."""
     from ..ops.conv import conv2d
 
-    cg = g.shape[-1]
-    wg = dp["conv1_w"][:, :, cup:cup + cg]
     hg = conv2d(g.astype(dtype), wg, None, padding=1)     # (B, H, W, mid)
     return to_planes(hg.astype(jnp.float32), depth)       # (B, P*mid, L)
+
+
+def _prep_guidance(dp, g, depth: int, T: int, cup: int, dtype):
+    """Per-image guidance half of conv1 as phased planes, broadcast over the
+    class axis at the kernel's index_map (not here)."""
+    cg = g.shape[-1]
+    return _prep_guidance_w(dp["conv1_w"][:, :, cup:cup + cg], g, depth, dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -315,20 +561,9 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
 
     hg1 = _prep_guidance(d1, g1, 1, T, d1["up_w"].shape[-1], dtype)
     hg2 = _prep_guidance(d2, g2, 2, T, d2["up_w"].shape[-1], dtype)
-    # fold conv1 biases (none in reference DoubleConv: bias-free convs) —
-    # reference model.py:523-531 uses bias-free Conv2d inside DoubleConv.
+    # (conv1/conv2 are bias-free in the reference DoubleConv, model.py:523-531)
+    wops, wspecs = _weight_operands(d1, d2, head, dtype)
 
-    up1 = _up_w_planes(d1["up_w"]).astype(dtype)           # (4, 96, 128)
-    up2 = _up_w_planes(d2["up_w"]).astype(dtype)           # (4, 48, 64)
-    cup1 = d1["up_w"].shape[-1]
-    cup2 = d2["up_w"].shape[-1]
-    c11 = _conv_w_mat(d1["conv1_w"][:, :, :cup1]).astype(dtype)   # (64, 9*96)
-    c12 = _conv_w_mat(d1["conv2_w"]).astype(dtype)                # (64, 9*64)
-    c21 = _conv_w_mat(d2["conv1_w"][:, :, :cup2]).astype(dtype)   # (32, 9*48)
-    c22 = _conv_w_mat(d2["conv2_w"]).astype(dtype)                # (32, 9*32)
-    hw = _conv_w_mat(head["w"]).astype(dtype)                     # (1, 9*32)
-
-    col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
     # Slabs per grid step: amortizes per-step DMA/dispatch overhead.  S must
     # divide T so a step never spans two images (the hg blocks are per-image).
     # Capped at 2: the body is fully unrolled per slab and Mosaic compile
@@ -345,25 +580,7 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
             pl.BlockSpec((S, 128, L), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 4 * 64, L), lambda i: (i // TS, 0, 0)),
             pl.BlockSpec((1, 16 * 32, L), lambda i: (i // TS, 0, 0)),
-            pl.BlockSpec((4, 96, 128), lambda i: (0, 0, 0)),
-            pl.BlockSpec((96, 1), lambda i: (0, 0)),
-            pl.BlockSpec((64, 9 * 96), lambda i: (0, 0)),
-            pl.BlockSpec((64, 1), lambda i: (0, 0)),
-            pl.BlockSpec((64, 1), lambda i: (0, 0)),
-            pl.BlockSpec((64, 9 * 64), lambda i: (0, 0)),
-            pl.BlockSpec((64, 1), lambda i: (0, 0)),
-            pl.BlockSpec((64, 1), lambda i: (0, 0)),
-            pl.BlockSpec((4, 48, 64), lambda i: (0, 0, 0)),
-            pl.BlockSpec((48, 1), lambda i: (0, 0)),
-            pl.BlockSpec((32, 9 * 48), lambda i: (0, 0)),
-            pl.BlockSpec((32, 1), lambda i: (0, 0)),
-            pl.BlockSpec((32, 1), lambda i: (0, 0)),
-            pl.BlockSpec((32, 9 * 32), lambda i: (0, 0)),
-            pl.BlockSpec((32, 1), lambda i: (0, 0)),
-            pl.BlockSpec((32, 1), lambda i: (0, 0)),
-            pl.BlockSpec((1, 9 * 32), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1), lambda i: (0, 0)),
-        ],
+        ] + wspecs,
         out_specs=pl.BlockSpec((S, 16, L), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 16, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -371,12 +588,7 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(xp, hg1, hg2,
-      up1, col(d1["up_b"]), c11, col(d1["gn1"]["g"]), col(d1["gn1"]["b"]),
-      c12, col(d1["gn2"]["g"]), col(d1["gn2"]["b"]),
-      up2, col(d2["up_b"]), c21, col(d2["gn1"]["g"]), col(d2["gn1"]["b"]),
-      c22, col(d2["gn2"]["g"]), col(d2["gn2"]["b"]),
-      hw, col(head["b"]))
+    )(xp, hg1, hg2, *wops)
 
     return from_planes(out, 2)[..., 0]
 
@@ -385,10 +597,140 @@ def _fused_fwd(x, g1, g2, d1, d2, head, B, T):
     return fused_decoder(x, g1, g2, d1, d2, head, B, T), (x, g1, g2, d1, d2, head)
 
 
+def _weight_operands(d1, d2, head, dtype):
+    """Shared fwd/bwd weight operand list in _W_KEYS order (+ specs)."""
+    col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
+    cup1 = d1["up_w"].shape[-1]
+    cup2 = d2["up_w"].shape[-1]
+    ops = [
+        _up_w_planes(d1["up_w"]).astype(dtype), col(d1["up_b"]),
+        _conv_w_mat(d1["conv1_w"][:, :, :cup1]).astype(dtype),
+        col(d1["gn1"]["g"]), col(d1["gn1"]["b"]),
+        _conv_w_mat(d1["conv2_w"]).astype(dtype),
+        col(d1["gn2"]["g"]), col(d1["gn2"]["b"]),
+        _up_w_planes(d2["up_w"]).astype(dtype), col(d2["up_b"]),
+        _conv_w_mat(d2["conv1_w"][:, :, :cup2]).astype(dtype),
+        col(d2["gn1"]["g"]), col(d2["gn1"]["b"]),
+        _conv_w_mat(d2["conv2_w"]).astype(dtype),
+        col(d2["gn2"]["g"]), col(d2["gn2"]["b"]),
+        _conv_w_mat(head["w"]).astype(dtype), col(head["b"]),
+    ]
+    specs = [pl.BlockSpec(o.shape, (lambda nd: (lambda i: (0,) * nd))(o.ndim))
+             for o in ops]
+    return ops, specs
+
+
 def _fused_bwd(B, T, res, gout):
+    """Analytic backward: one reverse-sweep Pallas kernel per slab.
+
+    Recomputes the forward in VMEM, reverses every stage (input-gradient
+    convs reuse the phased-conv machinery with flipped/transposed weights),
+    and accumulates weight gradients across grid steps.
+    """
     x, g1, g2, d1, d2, head = res
-    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, B, T), x, g1, g2, d1, d2, head)
-    return vjp(gout)
+    N = x.shape[0]
+    dtype = x.dtype
+    cup1 = d1["up_w"].shape[-1]
+    cup2 = d2["up_w"].shape[-1]
+
+    xp = to_planes(x, 0)
+    prep1 = lambda wg, g: _prep_guidance_w(wg, g, 1, dtype)
+    prep2 = lambda wg, g: _prep_guidance_w(wg, g, 2, dtype)
+    wg1 = d1["conv1_w"][:, :, cup1:]
+    wg2 = d2["conv1_w"][:, :, cup2:]
+    hg1, vjp_hg1 = jax.vjp(prep1, wg1, g1)
+    hg2, vjp_hg2 = jax.vjp(prep2, wg2, g2)
+    dop = to_planes(gout[..., None].astype(jnp.float32), 2)   # (N, 16, L)
+
+    wops, wspecs = _weight_operands(d1, d2, head, dtype)
+    wt_ops = [
+        _conv_w_mat_T(d1["conv1_w"][:, :, :cup1]).astype(dtype),
+        _conv_w_mat_T(d1["conv2_w"]).astype(dtype),
+        _conv_w_mat_T(d2["conv1_w"][:, :, :cup2]).astype(dtype),
+        _conv_w_mat_T(d2["conv2_w"]).astype(dtype),
+        _conv_w_mat_T(head["w"]).astype(dtype),
+    ]
+    wt_specs = [pl.BlockSpec(o.shape, lambda i: (0, 0)) for o in wt_ops]
+
+    f32 = jnp.float32
+    out_shapes = [
+        jax.ShapeDtypeStruct((N, 128, L), f32),           # dx
+        jax.ShapeDtypeStruct((g1.shape[0], 4 * 64, L), f32),   # dhg1
+        jax.ShapeDtypeStruct((g2.shape[0], 16 * 32, L), f32),  # dhg2
+        jax.ShapeDtypeStruct((4, cup1, 128), f32),        # dup1
+        jax.ShapeDtypeStruct((cup1, 1), f32),             # dup1b
+        jax.ShapeDtypeStruct((64, 9 * cup1), f32),        # dc11
+        jax.ShapeDtypeStruct((64, 1), f32),               # dgn11g
+        jax.ShapeDtypeStruct((64, 1), f32),
+        jax.ShapeDtypeStruct((64, 9 * 64), f32),          # dc12
+        jax.ShapeDtypeStruct((64, 1), f32),
+        jax.ShapeDtypeStruct((64, 1), f32),
+        jax.ShapeDtypeStruct((4, cup2, 64), f32),         # dup2
+        jax.ShapeDtypeStruct((cup2, 1), f32),
+        jax.ShapeDtypeStruct((32, 9 * cup2), f32),        # dc21
+        jax.ShapeDtypeStruct((32, 1), f32),
+        jax.ShapeDtypeStruct((32, 1), f32),
+        jax.ShapeDtypeStruct((32, 9 * 32), f32),          # dc22
+        jax.ShapeDtypeStruct((32, 1), f32),
+        jax.ShapeDtypeStruct((32, 1), f32),
+        jax.ShapeDtypeStruct((1, 9 * 32), f32),           # dhw
+        jax.ShapeDtypeStruct((1, 1), f32),                # dhb
+    ]
+    const_out = lambda o: pl.BlockSpec(
+        o.shape, (lambda nd: (lambda i: (0,) * nd))(len(o.shape)))
+    out_specs = [pl.BlockSpec((1, 128, L), lambda i: (i, 0, 0)),
+                 pl.BlockSpec((1, 4 * 64, L), lambda i: (i // T, 0, 0)),
+                 pl.BlockSpec((1, 16 * 32, L), lambda i: (i // T, 0, 0))]
+    out_specs += [const_out(o) for o in out_shapes[3:]]
+
+    kernel = functools.partial(_bwd_kernel, dtype=dtype, t_steps=T)
+    interpret = jax.default_backend() != "tpu"
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 128, L), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4 * 64, L), lambda i: (i // T, 0, 0)),
+            pl.BlockSpec((1, 16 * 32, L), lambda i: (i // T, 0, 0)),
+            pl.BlockSpec((1, 16, L), lambda i: (i, 0, 0)),
+        ] + wspecs + wt_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, hg1, hg2, dop, *wops, *wt_ops)
+
+    (dxp, dhg1, dhg2, dup1, dup1b, dc11, dgn11g, dgn11b, dc12, dgn12g,
+     dgn12b, dup2, dup2b, dc21, dgn21g, dgn21b, dc22, dgn22g, dgn22b,
+     dhw, dhb) = outs
+
+    dx = from_planes(dxp, 0).astype(x.dtype)
+    dwg1, dg1 = vjp_hg1(dhg1)
+    dwg2, dg2 = vjp_hg2(dhg2)
+
+    unup = lambda d: d.reshape(2, 2, d.shape[1], d.shape[2]).transpose(3, 0, 1, 2)
+    dd1 = {
+        "up_w": unup(dup1), "up_b": dup1b.reshape(-1),
+        "conv1_w": jnp.concatenate([_conv_w_mat_inv(dc11, cup1), dwg1], axis=2),
+        "conv2_w": _conv_w_mat_inv(dc12, 64),
+        "gn1": {"g": dgn11g.reshape(-1), "b": dgn11b.reshape(-1)},
+        "gn2": {"g": dgn12g.reshape(-1), "b": dgn12b.reshape(-1)},
+    }
+    dd2 = {
+        "up_w": unup(dup2), "up_b": dup2b.reshape(-1),
+        "conv1_w": jnp.concatenate([_conv_w_mat_inv(dc21, cup2), dwg2], axis=2),
+        "conv2_w": _conv_w_mat_inv(dc22, 32),
+        "gn1": {"g": dgn21g.reshape(-1), "b": dgn21b.reshape(-1)},
+        "gn2": {"g": dgn22g.reshape(-1), "b": dgn22b.reshape(-1)},
+    }
+    dhead = {"w": _conv_w_mat_inv(dhw, 32), "b": dhb.reshape(-1)}
+    dd1 = jax.tree.map(lambda a, b: a.astype(b.dtype), dd1, d1)
+    dd2 = jax.tree.map(lambda a, b: a.astype(b.dtype), dd2, d2)
+    dhead = jax.tree.map(lambda a, b: a.astype(b.dtype), dhead, head)
+    return dx, dg1.astype(g1.dtype), dg2.astype(g2.dtype), dd1, dd2, dhead
 
 
 fused_decoder.defvjp(_fused_fwd, _fused_bwd)

@@ -49,9 +49,6 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
 
     text_tokens: (T, 77) int32 token ids of the train class list.
     """
-    # gradient steps store forward intermediates (no remat), so the fused
-    # decoder's recompute-based VJP would only add its forward to the cost
-    cfg = cfg.replace(fused_decoder=False)
     tokens = jnp.asarray(text_tokens.astype(np.int32))
     dtype = jnp.dtype(cfg.compute_dtype)
 
