@@ -36,9 +36,9 @@ def _reference(x, g1, g2, d1, d2, head, B, T):
     return A._up_tail(h, (g2,), d2, head, B, T)
 
 
-def test_fused_decoder_matches_xla(agg_params):
+@pytest.mark.parametrize("B,T", [(2, 2), (1, 3)])  # T even -> 2 slabs/step, odd -> 1
+def test_fused_decoder_matches_xla(agg_params, B, T):
     rng = np.random.RandomState(1)
-    B, T = 2, 2
     d1, d2, head = agg_params["decoder1"], agg_params["decoder2"], agg_params["head"]
     x = jnp.asarray(rng.randn(B * T, 24, 24, 128) * 0.5, jnp.float32)
     g1 = jnp.asarray(rng.randn(B, 48, 48, 32) * 0.5, jnp.float32)
