@@ -122,24 +122,31 @@ def train_sample(
     ignore: int = 255,
     single_category_max_area: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One augmented (image (S,S,3) float32, gt (S,S) int32) training pair."""
+    """One augmented (image (S,S,3) uint8, gt (S,S) int32/uint8) training pair.
+
+    The image is uint8 like the reference's (detectron2's ColorAugSSDTransform
+    re-quantizes to uint8 and the mapper feeds uint8 tensors; normalization
+    happens inside the model, cat_seg_model.py:127) — and uint8 is 4x cheaper
+    over the tunnel's h2d path.  GT rides uint8 when the labels fit."""
     img = load_image(image_path)
     gt = load_gt(gt_path)
     short = int(rng.choice(min_size))
     img = resize_shortest_edge(img, short, max_size=int(1e9))
     gt = _resize_gt(gt, img.shape[:2])
     img, gt = random_crop_category_area(img, gt, crop_size, rng, ignore, single_category_max_area)
-    img = img.astype(np.float32)
     if color_aug:
-        img = color_aug_ssd(img, rng)
+        img = color_aug_ssd(img.astype(np.float32), rng)
+    img = np.clip(img, 0, 255).astype(np.uint8)
     if rng.integers(2):
         img = img[:, ::-1]
         gt = gt[:, ::-1]
+    if 0 <= ignore <= 255 and (gt >= 0).all() and (gt <= 255).all():
+        gt = gt.astype(np.uint8)
     # pad to crop_size (value 128 image / 255 gt, mapper lines 141-151)
     H, W = gt.shape
     if H < crop_size or W < crop_size:
-        pi = np.full((crop_size, crop_size, 3), 128.0, np.float32)
-        pg = np.full((crop_size, crop_size), ignore, np.int32)
+        pi = np.full((crop_size, crop_size, 3), 128, np.uint8)
+        pg = np.full((crop_size, crop_size), ignore, gt.dtype)
         pi[:H, :W] = img
         pg[:H, :W] = gt
         img, gt = pi, pg

@@ -32,6 +32,7 @@ def make_sharded_eval_step(cfg: CATSegConfig, mesh, text_feats, out_canvas, num_
         K = num_classes
         if clamp_background:
             pred = jnp.minimum(pred, 20)
+        gt = gt.astype(jnp.int32)  # host uploads the smallest dtype that fits
         g = jnp.where(gt == ignore, K, jnp.clip(gt, 0, K - 1))
         idx = (pred * (K + 1) + g).reshape(-1)
         return jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1).reshape(K + 1, K + 1)
@@ -57,10 +58,18 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
     Ho, Wo = out_canvas
     cm = jnp.zeros((num_classes + 1, num_classes + 1), jnp.int32)
 
+    # GT rides the smallest dtype that fits (h2d is the eval bottleneck
+    # under the tunnel); the device widens to int32
+    if num_classes <= 255 and 0 <= ignore <= 255:
+        gt_dtype = np.uint8
+    elif num_classes <= 65535 and 0 <= ignore <= 65535:
+        gt_dtype = np.uint16
+    else:
+        gt_dtype = np.int32
     batch_canvases = np.zeros((n_data, Hc, Wc, 3), np.uint8)
     batch_hws = np.zeros((n_data, 2), np.int32)
     batch_out = np.zeros((n_data, 2), np.int32)
-    batch_gts = np.full((n_data, Ho, Wo), ignore, np.int32)
+    batch_gts = np.full((n_data, Ho, Wo), ignore, gt_dtype)
     fill = 0
 
     def flush():

@@ -62,6 +62,60 @@ def _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
     return metrics
 
 
+def _evaluate_benchmark_batched(predictor, acc, spec, pairs, load, out_canvas,
+                                gt_dtype, batch, verbose) -> dict:
+    """Single-device loop at a fixed batch size: one 5B-tile model dispatch,
+    one vmapped resize-argmax dispatch, and one confusion update per B
+    images.  The tail batch is padded by repeating the last image with
+    all-ignore GT (ignore rows land in the cm's void column, which every
+    metric excludes)."""
+    from ..infer.pipeline import resize_argmax_dynamic_batch
+
+    Hc, Wc = out_canvas
+    t0 = time.time()
+    n = 0
+    buf: list = []
+
+    def flush(items):
+        nonlocal n
+        n_real = len(items)
+        while len(items) < batch:
+            img, _ = items[-1]
+            items = items + [(img, None)]  # pad: duplicate image, ignore GT
+        probs = predictor.probs_sliding_batch([im for im, _ in items])
+        hws = np.array(
+            [(g.shape if g is not None else (1, 1)) for _, g in items], np.int32)
+        preds = resize_argmax_dynamic_batch(probs, jnp.asarray(hws), (Hc, Wc))
+        gt_pads = np.full((batch, Hc, Wc), spec.ignore_label, dtype=gt_dtype)
+        for i, (_, gt) in enumerate(items[:n_real]):
+            H, W = gt.shape
+            gt_pads[i, :H, :W] = gt
+        acc.update(preds, gt_pads)
+        n += n_real
+        if verbose and (n // batch) % max(1, 100 // batch) == 0:
+            print(f"  [{spec.name}] {n}/{len(pairs)} images, "
+                  f"{n / (time.time() - t0):.2f} im/s")
+
+    for item in Prefetcher(pairs, load):
+        buf.append(item)
+        if len(buf) == batch:
+            flush(buf)
+            buf = []
+    if buf:
+        flush(buf)
+    metrics = acc.metrics()
+    metrics["_conf"] = acc.matrix()
+    metrics["images_per_sec"] = n / (time.time() - t0)
+    metrics["num_images"] = n
+    if verbose:
+        print(
+            f"[{spec.name}] (batch {batch}) mIoU {metrics['mIoU']:.2f} "
+            f"fwIoU {metrics['fwIoU']:.2f} mACC {metrics['mACC']:.2f} "
+            f"pACC {metrics['pACC']:.2f} ({metrics['images_per_sec']:.2f} im/s)"
+        )
+    return metrics
+
+
 def evaluate_benchmark(
     params: dict,
     cfg: CATSegConfig,
@@ -74,6 +128,7 @@ def evaluate_benchmark(
     visuals_dir: str = "eval_visuals",
     dump_predictions: str | None = None,
     tta: bool = False,
+    eval_batch: int = 2,
 ) -> dict:
     """Run one eval.sh benchmark; returns the metrics dict (+ images/sec).
 
@@ -139,13 +194,29 @@ def evaluate_benchmark(
         from .coco_dump import PredictionDumper
 
         dumper = PredictionDumper(dump_predictions)
+
+    # GT uploads in the smallest dtype that fits (the tunnel's h2d path is
+    # the eval bottleneck; labels widen to int32 on device)
+    if spec.num_classes <= 255 and spec.ignore_label <= 255:
+        gt_dtype = np.uint8
+    elif spec.num_classes <= 65535 and spec.ignore_label <= 65535:
+        gt_dtype = np.uint16
+    else:
+        gt_dtype = np.int32
+
+    if (sliding and not tta and dump_visuals == 0 and dumper is None
+            and eval_batch > 1 and len(pairs) > 1):
+        return _evaluate_benchmark_batched(
+            predictor, acc, spec, pairs, load, (Hc, Wc), gt_dtype,
+            eval_batch, verbose)
+
     t0 = time.time()
     n = 0
     for (img, gt) in Prefetcher(pairs, load):
         H, W = gt.shape
         probs = predictor.probs(img)
         pred = resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), (Hc, Wc))
-        gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=np.int32)
+        gt_pad = np.full((Hc, Wc), spec.ignore_label, dtype=gt_dtype)
         gt_pad[:H, :W] = gt
         acc.update(pred, gt_pad)
         if n < dump_visuals or dumper is not None:

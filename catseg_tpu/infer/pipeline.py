@@ -50,18 +50,47 @@ def sliding_window_probs(
     cfg: CATSegConfig,
 ) -> jnp.ndarray:
     """(640,640,3) + (384,384,3) raw RGB -> (640,640,T) sigmoid probabilities."""
+    return sliding_window_probs_batch(
+        params, image640[None], image_global[None], text_feats, cfg)[0]
+
+
+def sliding_window_probs_batch(
+    params: dict,
+    image640s: jnp.ndarray,
+    image_globals: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Batched sliding window: (n,640,640,3) + (n,384,384,3) raw RGB ->
+    (n,640,640,T) sigmoid probabilities.  Per-image results are identical to
+    the n=1 path (the batch axis is independent); batching n images amortizes
+    per-dispatch/tunnel overhead across one 5n-tile model forward."""
     k, s, out = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
-    tiles = unfold_tiles(image640[None], k, s)  # (4, 384, 384, 3)
-    batch = jnp.concatenate([tiles, image_global[None]], axis=0)  # (5, ...)
-    logits = _model_forward(params, batch, text_feats, cfg)  # (5, T, 96, 96)
-    logits = logits.transpose(0, 2, 3, 1)  # (5, 96, 96, T)
-    logits = resize_bilinear(logits, (k, k))
-    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-    tile_probs, global_probs = probs[:-1], probs[-1:]
-    folded = fold_tiles(tile_probs, (out, out), k, s)[0]
-    folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
-    global_up = resize_bilinear(global_probs, (out, out))[0]
-    return (folded + global_up) / 2.0
+    n = image640s.shape[0]
+    nt = ((out - k) // s + 1) ** 2  # tiles per image (4 at the eval preset)
+    tiles = unfold_tiles(image640s, k, s)  # (nt*n, 384, 384, 3), tile-major
+    batch = jnp.concatenate([tiles, image_globals], axis=0)  # ((nt+1)*n, ...)
+    logits = _model_forward(params, batch, text_feats, cfg)
+    logits = logits.transpose(0, 2, 3, 1)  # ((nt+1)*n, 96, 96, T)
+
+    def tail(per_image):
+        """(nt+1, 96, 96, T) -> (out, out, T); == the n=1 composition."""
+        lg = resize_bilinear(per_image, (k, k))
+        probs = jax.nn.sigmoid(lg.astype(jnp.float32))
+        folded = fold_tiles(probs[:nt], (out, out), k, s)[0]
+        folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
+        global_up = resize_bilinear(probs[nt:], (out, out))[0]
+        return (folded + global_up) / 2.0
+
+    # regroup tile-major -> per-image stacks; the 96 -> k upsample tail costs
+    # (nt+1)*k*k*T floats per image, so at large T it runs as a sequential
+    # lax.map to keep peak HBM at the single-image level
+    per_image = jnp.concatenate(
+        [logits[: nt * n].reshape(nt, n, *logits.shape[1:]).transpose(1, 0, 2, 3, 4),
+         logits[nt * n :][:, None]], axis=1)  # (n, nt+1, 96, 96, T)
+    if n == 1:
+        return tail(per_image[0])[None]
+    return jax.lax.map(tail, per_image)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -95,6 +124,52 @@ def sliding_window_probs_from_canvas(
     imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
     imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
     return sliding_window_probs(params, img640, imgk, text_feats, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def sliding_window_probs_from_canvas_batch(
+    params: dict,
+    image_canvases: jnp.ndarray,
+    hws: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+) -> jnp.ndarray:
+    """Batched :func:`sliding_window_probs_from_canvas`: (n, Hc, Wc, 3)
+    canvases + (n, 2) true sizes -> (n, 640, 640, T) probabilities.  The
+    per-image on-device resizes vmap over the batch; one model forward
+    covers all 5n tiles."""
+    from ..ops.resize import bilinear_row_weights_dynamic
+
+    Hc, Wc = image_canvases.shape[1:3]
+    out = cfg.sw_out_res
+    k = cfg.sw_kernel
+
+    def prep(canvas, hw):
+        img = canvas.astype(jnp.float32)
+        wh640 = bilinear_row_weights_dynamic(out, hw[0], Hc)
+        ww640 = bilinear_row_weights_dynamic(out, hw[1], Wc)
+        whk = bilinear_row_weights_dynamic(k, hw[0], Hc)
+        wwk = bilinear_row_weights_dynamic(k, hw[1], Wc)
+        img640 = jnp.einsum("hwc,Hh->Hwc", img, wh640)
+        img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
+        imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
+        imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
+        return img640, imgk
+
+    img640s, imgks = jax.vmap(prep)(image_canvases, hws)
+    return sliding_window_probs_batch(params, img640s, imgks, text_feats, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("canvas", "chunk"))
+def resize_argmax_dynamic_batch(
+    probs: jnp.ndarray,
+    out_hws: jnp.ndarray,
+    canvas: tuple[int, int],
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """vmapped :func:`resize_argmax_dynamic`: (n, h, w, T) probs + (n, 2)
+    true sizes -> (n, Hmax, Wmax) argmax maps in ONE dispatch."""
+    return jax.vmap(lambda p, o: resize_argmax_dynamic(p, o, canvas, chunk))(probs, out_hws)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -287,6 +362,28 @@ class Predictor:
         return sliding_window_probs_from_canvas(
             self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32),
             self.text_feats, cfg,
+        )
+
+    def probs_sliding_batch(self, images: list[np.ndarray]) -> jnp.ndarray:
+        """n images -> (n, 640, 640, T) probs through ONE model dispatch.
+
+        Per-image results are identical to probs_sliding (independent batch
+        axis); batching amortizes dispatch/tunnel overhead and fills the MXU
+        with a 5n-tile forward.  Requires input_canvas (all images share one
+        static canvas so the batch compiles once)."""
+        cfg = self.cfg
+        if self.input_canvas is None:
+            raise ValueError("probs_sliding_batch requires a fixed input_canvas")
+        Hc, Wc = self.input_canvas
+        dtype = np.uint8 if all(im.dtype == np.uint8 for im in images) else np.float32
+        canvases = np.zeros((len(images), Hc, Wc, 3), dtype=dtype)
+        hws = np.zeros((len(images), 2), dtype=np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            canvases[i, :h, :w] = im
+            hws[i] = (h, w)
+        return sliding_window_probs_from_canvas_batch(
+            self.params, jnp.asarray(canvases), jnp.asarray(hws), self.text_feats, cfg
         )
 
     def probs_whole(self, image: np.ndarray) -> jnp.ndarray:

@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--seen-indexes", default=None, help="json list for gzero seen/unseen split")
     ap.add_argument("--unseen-indexes", default=None)
     ap.add_argument("--tta", action="store_true", help="hflip TTA (test_with_TTA)")
+    ap.add_argument("--eval-batch", type=int, default=2,
+                    help="images per device dispatch (single-device sliding eval)")
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
 
@@ -43,7 +45,8 @@ def main(argv=None):
         bench = bench.strip()
         m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
                                sliding=not args.whole_image, dump_visuals=args.dump_visuals,
-                               dump_predictions=args.dump_predictions, tta=args.tta)
+                               dump_predictions=args.dump_predictions, tta=args.tta,
+                               eval_batch=args.eval_batch)
         if args.seen_indexes and args.unseen_indexes:
             # gzero: seen/unseen/harmonic IoU split (plain_train_net.py:48-228)
             from ..evaluation.miou import gzero_metrics

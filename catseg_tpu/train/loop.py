@@ -68,6 +68,10 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
             return catseg.bce_loss(logits, targets, cfg.ignore_value, targets.shape[1:3])
 
     def step(params, opt_state, images, targets):
+        # inputs may ride the wire as uint8 (images) / uint8 (targets) — the
+        # mapper emits the smallest dtypes; widen on device
+        images = images.astype(jnp.float32)
+        targets = targets.astype(jnp.int32)
         loss, grads = jax.value_and_grad(loss_fn)(params, images, targets)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -73,6 +73,29 @@ def test_eval_cli_sharded_end_to_end(synth_dataset, capsys):
     assert m["num_images"] == 5
 
 
+def test_eval_cli_batched_single_device(synth_dataset, tmp_path, capsys, monkeypatch):
+    """On one device the sliding eval runs the fixed-batch loop; with 5
+    images and batch 2 the tail batch exercises the all-ignore pad slot.
+    Metrics must match the sequential (batch 1) loop exactly."""
+    import jax
+
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a: one)
+    results = {}
+    for b in (1, 2):
+        out = tmp_path / f"m{b}.json"
+        eval_cli.main([
+            "--config", "mini", "--benchmarks", "mini_synth",
+            "--data-root", str(synth_dataset), "--output", str(out),
+            "--eval-batch", str(b),
+        ])
+        results[b] = json.load(open(out))["mini_synth"]
+    stdout = capsys.readouterr().out
+    assert "(batch 2)" in stdout and "sharded" not in stdout
+    for k in ("mIoU", "fwIoU", "mACC", "pACC", "num_images"):
+        assert results[1][k] == pytest.approx(results[2][k], abs=1e-9), k
+
+
 def test_eval_cli_sequential_when_dumping(synth_dataset, tmp_path, capsys, monkeypatch):
     """Per-image dump paths stay on the sequential predictor."""
     monkeypatch.chdir(tmp_path)  # visuals land in ./eval_visuals

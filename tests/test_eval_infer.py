@@ -145,6 +145,33 @@ def test_sliding_window_composition():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
 
 
+def test_sliding_window_batch_matches_single():
+    """probs_sliding_batch / resize_argmax_dynamic_batch == per-image paths."""
+    from catseg_tpu.infer.pipeline import (
+        Predictor, resize_argmax_dynamic, resize_argmax_dynamic_batch)
+
+    cfg = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(5)
+    text = rng.randn(6, 1, 48).astype(np.float32)
+    images = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+              for h, w in [(200, 300), (250, 140)]]
+    pred = Predictor(params, cfg, [f"c{i}" for i in range(6)], text_feats=text,
+                     input_canvas=(256, 512))
+
+    batched = np.asarray(pred.probs_sliding_batch(images))
+    singles = np.stack([np.asarray(pred.probs_sliding(im)) for im in images])
+    np.testing.assert_allclose(batched, singles, atol=2e-5, rtol=1e-4)
+
+    hws = np.array([[180, 270], [230, 120]], np.int32)
+    am_b = np.asarray(resize_argmax_dynamic_batch(
+        jnp.asarray(batched), jnp.asarray(hws), (256, 512)))
+    for i in range(2):
+        am_s = np.asarray(resize_argmax_dynamic(
+            jnp.asarray(singles[i]), jnp.asarray(hws[i]), (256, 512)))
+        np.testing.assert_array_equal(am_b[i], am_s)
+
+
 def test_text_embed_pipeline():
     from catseg_tpu.core.clip import init_clip_params
     from catseg_tpu.text.embed import forward_text_embeds, class_embeddings_ensemble
