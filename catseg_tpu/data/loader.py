@@ -145,3 +145,43 @@ class Prefetcher:
             if isinstance(item, _PrefetchError):
                 raise item.exc
             yield item
+
+
+class GeneratorPrefetcher:
+    """Background-thread wrapper for an (infinite) generator — used by the
+    train loop so per-batch decode + augmentation overlaps the device step.
+    Host-side only (no device transfers in the thread: the tunnel serializes
+    concurrent RPCs); exceptions propagate to the consumer."""
+
+    def __init__(self, gen, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def work():
+            try:
+                for item in gen:
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+                self._q.put(_PrefetchError(e))
+
+        self._t = threading.Thread(target=work, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if isinstance(item, _PrefetchError):
+            raise item.exc
+        return item
+
+    def close(self):
+        self._stop.set()

@@ -21,12 +21,19 @@ class TTAPredictor:
         self.cfg = predictor.cfg
 
     def probs_sliding(self, image: np.ndarray) -> jnp.ndarray:
+        if self.predictor.input_canvas is not None:
+            # one 2x(nt+1)-tile dispatch: [image, hflip] ride the batch axis
+            p2 = self.predictor.probs_sliding_batch(
+                [image, np.ascontiguousarray(image[:, ::-1])])
+            return (p2[0] + p2[1][:, ::-1]) / 2.0
         p = self.predictor.probs_sliding(image)
         p_flip = self.predictor.probs_sliding(np.ascontiguousarray(image[:, ::-1]))
         return (p + p_flip[:, ::-1]) / 2.0
 
     def probs(self, image: np.ndarray) -> jnp.ndarray:
         """Branch-agnostic flip-averaged probabilities (eval harness entry)."""
+        if self.cfg.sliding_window:
+            return self.probs_sliding(image)
         p = self.predictor.probs(image)
         p_flip = self.predictor.probs(np.ascontiguousarray(image[:, ::-1]))
         return (p + p_flip[:, ::-1]) / 2.0

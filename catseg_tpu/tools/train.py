@@ -22,13 +22,14 @@ from ..data.mapper import train_batches
 from ..text.tokenizer import tokenize
 from ..train import init_train_state
 from ..train.loop import train
-from .common import load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, resolve_config
 
 
 def main(argv=None):
     import jax
 
     ap = argparse.ArgumentParser()
+    add_device_arg(ap)
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--output", default="output")
     ap.add_argument("--dataset", default="coco_2017_train_stuff_all_sem_seg")
@@ -42,6 +43,7 @@ def main(argv=None):
     ap.add_argument("--eval-every", type=int, default=5000)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
+    apply_device(args)
 
     cfg = resolve_config(args.config, args.overrides)
     os.makedirs(args.output, exist_ok=True)
@@ -55,8 +57,11 @@ def main(argv=None):
 
     pairs = list_dataset(spec, root=args.data_root)
     rng = np.random.default_rng(args.seed)
-    data = train_batches(pairs, cfg.batch_size, rng, crop_size=cfg.crop_size,
-                         color_aug=cfg.color_aug, ignore=cfg.ignore_value)
+    from ..data.loader import GeneratorPrefetcher
+
+    data = GeneratorPrefetcher(
+        train_batches(pairs, cfg.batch_size, rng, crop_size=cfg.crop_size,
+                      color_aug=cfg.color_aug, ignore=cfg.ignore_value))
 
     from ..parallel.mesh import make_mesh
 
@@ -82,8 +87,11 @@ def main(argv=None):
                                    limit=args.eval_limit, verbose=False)
             return {k: m[k] for k in ("mIoU", "fwIoU", "mACC", "pACC")}
 
-    train(state, tx, cfg, data, tokens, mesh=mesh, num_steps=args.steps,
-          output_dir=args.output, eval_fn=eval_fn, eval_every=args.eval_every)
+    try:
+        train(state, tx, cfg, data, tokens, mesh=mesh, num_steps=args.steps,
+              output_dir=args.output, eval_fn=eval_fn, eval_every=args.eval_every)
+    finally:
+        data.close()
     from ..weights.io import save_pytree
 
     save_pytree(os.path.join(args.output, "model_final.npz"), jax.device_get(state.params))

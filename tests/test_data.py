@@ -84,3 +84,39 @@ def test_probe_sizes_caches(tmp_path):
 
     os.remove(paths[0])
     assert probe_sizes(paths, cache_path=cache) == [(30, 40), (50, 20)]
+
+
+def test_generator_prefetcher():
+    from catseg_tpu.data.loader import GeneratorPrefetcher
+
+    def gen():
+        yield from range(10)
+
+    pf = GeneratorPrefetcher(gen())
+    assert [next(pf) for _ in range(10)] == list(range(10))
+    pf.close()
+
+    # infinite generator: close() must stop the worker thread
+    def inf():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    pf = GeneratorPrefetcher(inf())
+    assert next(pf) == 0 and next(pf) == 1
+    pf.close()
+    pf._t.join(timeout=5.0)
+    assert not pf._t.is_alive()
+
+    # worker exceptions surface in the consumer (not a silent hang)
+    def bad():
+        yield 1
+        raise ValueError("corrupt sample")
+
+    pf = GeneratorPrefetcher(bad())
+    assert next(pf) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corrupt sample"):
+        next(pf)

@@ -291,3 +291,16 @@ def test_tta_probs_flip_consistency():
     sym = np.concatenate([img[:, :64], img[:, :64][:, ::-1]], axis=1)
     p_sym = np.asarray(tta.probs(np.ascontiguousarray(sym)))
     np.testing.assert_allclose(p_sym, p_sym[:, ::-1], atol=1e-5)
+
+    # sliding branch: TTA rides the 2-image batch path (one dispatch) and
+    # must equal manual flip-averaging of the per-image sliding pipeline
+    cfg_s = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
+    pred_s = Predictor(params, cfg_s, [f"c{i}" for i in range(T)], text_feats=text,
+                       input_canvas=(256, 256))
+    tta_s = TTAPredictor(pred_s)
+    img2 = rng.randint(0, 255, (200, 230, 3), dtype=np.uint8)
+    base = np.asarray(pred_s.probs_sliding(img2))
+    base_f = np.asarray(pred_s.probs_sliding(np.ascontiguousarray(img2[:, ::-1])))
+    want = (base + base_f[:, ::-1]) / 2.0
+    got = np.asarray(tta_s.probs(img2))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
