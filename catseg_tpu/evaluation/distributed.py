@@ -48,10 +48,14 @@ def make_sharded_eval_step(cfg: CATSegConfig, mesh, text_feats, out_canvas, num_
 
 def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
                      input_canvas, out_canvas, num_classes, ignore,
-                     clamp_background=False):
+                     clamp_background=False, per_device_batch=2):
     """items: iterable of (image (h,w,3) uint8, gt (H,W) int32).  Returns the
-    accumulated confusion matrix (numpy int64)."""
-    n_data = mesh.shape["data"]
+    accumulated confusion matrix (numpy int64).
+
+    per_device_batch images ride each device per dispatch (the single-chip
+    batched loop's amortization, multiplied across the data axis): the batch
+    axis is n_data * per_device_batch, sharded on "data"."""
+    bsz = mesh.shape["data"] * max(1, per_device_batch)
     step = make_sharded_eval_step(cfg, mesh, jnp.asarray(text_feats), out_canvas,
                                   num_classes, ignore, clamp_background)
     Hc, Wc = input_canvas
@@ -66,10 +70,10 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
         gt_dtype = np.uint16
     else:
         gt_dtype = np.int32
-    batch_canvases = np.zeros((n_data, Hc, Wc, 3), np.uint8)
-    batch_hws = np.zeros((n_data, 2), np.int32)
-    batch_out = np.zeros((n_data, 2), np.int32)
-    batch_gts = np.full((n_data, Ho, Wo), ignore, gt_dtype)
+    batch_canvases = np.zeros((bsz, Hc, Wc, 3), np.uint8)
+    batch_hws = np.zeros((bsz, 2), np.int32)
+    batch_out = np.zeros((bsz, 2), np.int32)
+    batch_gts = np.full((bsz, Ho, Wo), ignore, gt_dtype)
     fill = 0
 
     def flush():
@@ -92,7 +96,7 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
         batch_out[fill] = (H, W)
         batch_gts[fill, :H, :W] = gt
         fill += 1
-        if fill == n_data:
+        if fill == bsz:
             flush()
     flush()
     return np.asarray(cm, dtype=np.int64)

@@ -28,7 +28,8 @@ def _canvas(sizes, step: int = 256) -> tuple[int, int]:
 
 
 def _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
-                                in_canvas, out_canvas, verbose) -> dict:
+                                in_canvas, out_canvas, verbose,
+                                per_device_batch=2) -> dict:
     """Mesh-sharded benchmark loop: one SPMD program over the data axis."""
     import jax
 
@@ -48,6 +49,7 @@ def _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
         input_canvas=in_canvas, out_canvas=out_canvas,
         num_classes=spec.num_classes, ignore=spec.ignore_label,
         clamp_background=spec.evaluator == "sem_seg_background",
+        per_device_batch=per_device_batch,
     )
     metrics = semseg_metrics(cm)
     metrics["_conf"] = cm
@@ -179,7 +181,8 @@ def evaluate_benchmark(
     if (sliding and not tta and dump_visuals == 0 and dump_predictions is None
             and len(_jax.devices()) > 1):
         return _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
-                                           in_canvas, (Hc, Wc), verbose)
+                                           in_canvas, (Hc, Wc), verbose,
+                                           per_device_batch=max(1, eval_batch))
 
     predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
     if tta:

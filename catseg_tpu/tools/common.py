@@ -66,3 +66,19 @@ def load_params(path: str | None, cfg: CATSegConfig, seed: int = 0):
     from ..weights.io import load_pytree
 
     return load_pytree(path)
+
+def add_device_arg(ap):
+    """--device cpu|tpu: force the JAX backend.  The tunneled host pins the
+    JAX_PLATFORMS env var, so the switch must go through jax.config before
+    the first device query (CLAUDE.md gotcha); useful for driving the CLIs
+    on machines without the chip and in CI."""
+    ap.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                    help="force JAX backend (default: environment's)")
+
+
+def apply_device(args):
+    dev = getattr(args, "device", None)
+    if dev:
+        import jax
+
+        jax.config.update("jax_platforms", dev)

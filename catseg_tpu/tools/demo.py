@@ -22,11 +22,12 @@ from ..data.loader import load_image, resize_shortest_edge
 from ..infer.pipeline import Predictor
 from ..infer.tta import TTAPredictor
 from ..infer.visualize import build_palette, overlay
-from .common import load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, resolve_config
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    add_device_arg(ap)
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--checkpoint", default=None)
     src = ap.add_mutually_exclusive_group(required=True)
@@ -45,6 +46,7 @@ def main(argv=None):
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
+    apply_device(args)
 
     cfg = resolve_config(args.config, args.overrides).replace(sliding_window=True, pooling_size=(1, 1))
     params = load_params(args.checkpoint, cfg)

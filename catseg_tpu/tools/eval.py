@@ -13,13 +13,14 @@ import argparse
 import json
 
 from ..evaluation.harness import evaluate_benchmark
-from .common import load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, resolve_config
 
 DEFAULT_BENCHMARKS = "ade150,ade847,voc20,voc20b,pc59,pc459"
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    add_device_arg(ap)
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--checkpoint", default=None, help=".npz pytree or torch .pth")
     ap.add_argument("--benchmarks", default=DEFAULT_BENCHMARKS)
@@ -36,6 +37,7 @@ def main(argv=None):
                     help="images per device dispatch (single-device sliding eval)")
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
+    apply_device(args)
 
     cfg = resolve_config(args.config, args.overrides)
     params = load_params(args.checkpoint, cfg)

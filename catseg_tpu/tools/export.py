@@ -20,7 +20,7 @@ import numpy as np
 
 from ..data.catalogs import load_class_names
 from ..infer.export import ExportSpec, export_serving, load_exported
-from .common import load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, resolve_config
 
 
 def _hw(s: str) -> tuple[int, int]:
@@ -30,6 +30,7 @@ def _hw(s: str) -> tuple[int, int]:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    add_device_arg(ap)
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--checkpoint", default=None)
     src = ap.add_mutually_exclusive_group(required=True)
@@ -44,6 +45,7 @@ def main(argv=None):
                     help="reload the artifact and compare against the live pipeline")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
+    apply_device(args)
 
     cfg = resolve_config(args.config, args.overrides).replace(
         sliding_window=True, pooling_size=(1, 1))

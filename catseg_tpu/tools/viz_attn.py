@@ -21,7 +21,7 @@ from ..core.clip import encode_image_attn_maps
 from ..core.catseg import normalize_clip
 from ..data.loader import load_image
 from ..ops import resize_bilinear
-from .common import load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, resolve_config
 
 
 def head_grid(attn: np.ndarray, grid: int) -> np.ndarray:
@@ -38,6 +38,7 @@ def head_grid(attn: np.ndarray, grid: int) -> np.ndarray:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    add_device_arg(ap)
     ap.add_argument("--config", default="vitb384")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--input", required=True)
@@ -45,6 +46,7 @@ def main(argv=None):
     ap.add_argument("--output", default="attn_out")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
+    apply_device(args)
 
     cfg = resolve_config(args.config, args.overrides)
     params = load_params(args.checkpoint, cfg)

@@ -15,8 +15,10 @@ from catseg_tpu.parallel.mesh import make_mesh
 from test_catseg_model import mini_cfg
 
 
-@pytest.mark.parametrize("n_images", [3, 4])  # non-multiple and multiple of mesh size
-def test_sharded_eval_matches_sequential(n_images):
+# n_images: non-multiple and multiple of the dispatch batch (4 devices x pdb);
+# pdb=2 is the product default (per-device batching), 9 images = 2 flushes + tail
+@pytest.mark.parametrize("n_images,pdb", [(3, 1), (4, 1), (9, 2)])
+def test_sharded_eval_matches_sequential(n_images, pdb):
     cfg = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
     params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
@@ -26,7 +28,7 @@ def test_sharded_eval_matches_sequential(n_images):
 
     items = []
     for i in range(n_images):
-        h, w = (200 + 10 * i, 260 - 10 * i)
+        h, w = (200 + 4 * i, 260 - 10 * i)
         img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
         gt = rng.randint(0, T, (h + 20, w + 20)).astype(np.int32)
         gt[:5] = 255
@@ -36,7 +38,7 @@ def test_sharded_eval_matches_sequential(n_images):
     cm = evaluate_sharded(
         params, cfg, mesh, items, text,
         input_canvas=(256, 512), out_canvas=(256, 512),
-        num_classes=T, ignore=255,
+        num_classes=T, ignore=255, per_device_batch=pdb,
     )
 
     # sequential reference
