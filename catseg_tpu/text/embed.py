@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import CLIPVariant
-from ..core.clip import encode_text
+from ..core.clip import encode_text, truncate_context
 from . import templates as _templates
 from .tokenizer import ClipBPE, tokenize
 
@@ -35,6 +35,8 @@ def encode_texts_batched(
     compute_dtype=jnp.float32,
 ) -> np.ndarray:
     """Encode (N, 77) token rows in fixed-size jitted batches -> (N, E) fp32."""
+    # causal mask => truncating past max(EOT) is exact (see truncate_context)
+    token_ids = truncate_context(token_ids)
     fn = jax.jit(
         functools.partial(encode_text, variant=variant, compute_dtype=compute_dtype),
     )

@@ -49,10 +49,22 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
 
     text_tokens: (T, 77) int32 token ids of the train class list.
     """
-    tokens = jnp.asarray(text_tokens.astype(np.int32))
+    from ..core.clip import truncate_context
+
+    tokens = jnp.asarray(truncate_context(text_tokens).astype(np.int32))
     dtype = jnp.dtype(cfg.compute_dtype)
 
     def loss_fn(params, images, targets):
+        # Frozen leaves (clip_finetune policy, cat_seg_model.py:57-75) take
+        # stop_gradient so their weight-grad matmuls never enter the jaxpr:
+        # the optimizer zeroes them anyway, and the reference's global-norm
+        # clip never sees them (train_net.py:203-204).
+        from .optim import finetune_label_tree
+
+        labels = finetune_label_tree(params, cfg.clip_finetune)
+        params = jax.tree.map(
+            lambda p, lbl: jax.lax.stop_gradient(p) if lbl == "frozen" else p,
+            params, labels)
         with use_mesh(mesh):
             emb = encode_text(params["clip"], tokens, cfg.clip, compute_dtype=dtype)
             emb = emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True).astype(emb.dtype)

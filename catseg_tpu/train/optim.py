@@ -99,8 +99,15 @@ def build_optimizer(cfg: CATSegConfig, params) -> optax.GradientTransformation:
             weight_decay=wd,
         )
 
+    # The reference's FullModelGradientClippingOptimizer computes the global
+    # norm over the optimizer's param groups only — params with
+    # requires_grad=False never enter them (train_net.py:203-204,240-242) —
+    # so the clip must exclude frozen leaves.  Masking also keeps the frozen
+    # backward dead code: no transform consumes those grads, letting XLA
+    # eliminate their computation entirely.
+    trainable = jax.tree.map(lambda lbl: lbl != "frozen", labels)
     return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.masked(optax.clip_by_global_norm(cfg.grad_clip_norm), trainable),
         optax.multi_transform(
             {
                 "main": adamw(1.0, cfg.weight_decay),

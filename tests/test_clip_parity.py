@@ -154,3 +154,21 @@ def test_vpt_prompt_tokens(params):
     # zero prompts at depth 2, length L: output differs from no-prompt run only
     # through the attention over extra (zero+bias) tokens — still finite
     assert np.isfinite(np.asarray(tokens)).all()
+
+
+def test_truncated_context_exact(params):
+    """Causal mask => encode_text on truncate_context(tokens) equals the
+    full-77 run bit-for-bit up to fusion-order fp drift."""
+    rng = np.random.RandomState(3)
+    N = 7
+    tokens = np.zeros((N, VARIANT.context), dtype=np.int32)
+    for i in range(N):
+        L = rng.randint(3, 8)  # EOT index <= 6 -> truncates below the mini context=16
+        tokens[i, 0] = VARIANT.vocab_size - 2
+        tokens[i, 1 : L - 1] = rng.randint(1, VARIANT.vocab_size - 2, L - 2)
+        tokens[i, L - 1] = VARIANT.vocab_size - 1  # EOT = max id
+    short = jclip.truncate_context(tokens)
+    assert short.shape[-1] < VARIANT.context and short.shape[-1] % 8 == 0
+    full = np.asarray(jclip.encode_text(params, jnp.asarray(tokens), VARIANT))
+    trunc = np.asarray(jclip.encode_text(params, jnp.asarray(short), VARIANT))
+    np.testing.assert_allclose(trunc, full, atol=1e-5, rtol=1e-5)

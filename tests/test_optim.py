@@ -118,3 +118,31 @@ def test_zero_grad_step_decays_only_decay_groups():
     np.testing.assert_allclose(upd("clip/visual/blocks/q_w"),
                                -lr0 * cfg.clip_multiplier * cfg.weight_decay * q0,
                                rtol=1e-5, atol=1e-12)
+
+def test_global_norm_clip_excludes_frozen_grads():
+    """The reference's full-model clip norm runs over optimizer param groups
+    only; requires_grad=False params never enter them (train_net.py:203-204).
+    A huge gradient on a frozen leaf must not change any trainable update."""
+    cfg = mini_cfg()
+    params = catseg.init_catseg_params(jax.random.PRNGKey(2), cfg)
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 1e-3), params)
+    upd_small, _ = tx.update(grads, opt_state, params)
+
+    # blow up a frozen grad by 1e6: were it inside the global norm, every
+    # trainable update would shrink by ~that factor
+    grads_big = jax.tree_util.tree_map_with_path(
+        lambda path, g: jnp.full_like(g, 1e3)
+        if "token_embedding" in str(path) else g,
+        grads,
+    )
+    upd_big, _ = tx.update(grads_big, opt_state, params)
+
+    a = np.asarray(upd_small["agg"]["conv1"]["w"])
+    b = np.asarray(upd_big["agg"]["conv1"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    q_a = np.asarray(upd_small["clip"]["visual"]["blocks"]["q_w"])
+    q_b = np.asarray(upd_big["clip"]["visual"]["blocks"]["q_w"])
+    np.testing.assert_allclose(q_a, q_b, rtol=1e-6)
