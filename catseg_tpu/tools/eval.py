@@ -42,6 +42,8 @@ def main(argv=None):
     cfg = resolve_config(args.config, args.overrides)
     params = load_params(args.checkpoint, cfg)
 
+    if args.benchmarks.strip() == "all":
+        args.benchmarks = DEFAULT_BENCHMARKS
     results = {}
     for bench in args.benchmarks.split(","):
         bench = bench.strip()

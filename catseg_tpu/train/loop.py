@@ -127,18 +127,26 @@ def train(
     n = num_steps if num_steps is not None else cfg.max_iter - state.step
     t0 = time.time()
     loss = None
-    for i in range(n):
-        images, targets = next(data_iter)
-        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(images), jnp.asarray(targets))
-        state.step += 1
-        if log_every and (i + 1) % log_every == 0:
-            lv = float(loss)  # scalar fetch = the only true sync point
-            writer.write(state.step, loss_sem_seg=lv, it_per_sec=(i + 1) / (time.time() - t0))
-        if output_dir and state.step % checkpoint_every == 0:
+    try:
+        for i in range(n):
+            images, targets = next(data_iter)
+            params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(images), jnp.asarray(targets))
+            state.step += 1
+            if log_every and (i + 1) % log_every == 0:
+                lv = float(loss)  # scalar fetch = the only true sync point
+                writer.write(state.step, loss_sem_seg=lv, it_per_sec=(i + 1) / (time.time() - t0))
+            if output_dir and state.step % checkpoint_every == 0:
+                save_train_state(output_dir, params, opt_state, state.step)
+            if eval_fn is not None and state.step % eval_every == 0:
+                metrics = eval_fn(params)
+                writer.write(state.step, **{f"eval/{k}": v for k, v in metrics.items()})
+    except KeyboardInterrupt:
+        # an interrupted run still leaves a resumable checkpoint (detectron2's
+        # trainer hooks do the same via its finally-save semantics)
+        if output_dir:
             save_train_state(output_dir, params, opt_state, state.step)
-        if eval_fn is not None and state.step % eval_every == 0:
-            metrics = eval_fn(params)
-            writer.write(state.step, **{f"eval/{k}": v for k, v in metrics.items()})
+            writer.write(state.step, interrupted=1.0)
+        raise
     state.params, state.opt_state = params, opt_state
     if loss is not None:
         _ = float(loss)

@@ -304,3 +304,33 @@ def test_tta_probs_flip_consistency():
     want = (base + base_f[:, ::-1]) / 2.0
     got = np.asarray(tta_s.probs(img2))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_train_interrupt_saves_checkpoint(tmp_path):
+    """KeyboardInterrupt mid-loop leaves a resumable checkpoint on disk."""
+    from catseg_tpu.train import init_train_state
+    from catseg_tpu.train.checkpoint import latest_checkpoint
+    from catseg_tpu.train.loop import train
+
+    cfg = mini_cfg()
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    tokens = np.zeros((cfg.num_classes, 16), np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, 1] = 49407
+
+    def data():
+        n = 0
+        while True:
+            if n >= 2:
+                raise KeyboardInterrupt
+            n += 1
+            yield (rng.rand(1, cfg.crop_size, cfg.crop_size, 3).astype(np.float32) * 255,
+                   rng.randint(0, cfg.num_classes, (1, cfg.crop_size, cfg.crop_size)).astype(np.int32))
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyboardInterrupt):
+        train(state, tx, cfg, data(), tokens, num_steps=10, log_every=0,
+              output_dir=str(tmp_path), checkpoint_every=10**9)
+    assert latest_checkpoint(str(tmp_path)) is not None
