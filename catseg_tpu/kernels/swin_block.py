@@ -151,6 +151,46 @@ def _one_block(x, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: i
     return x + o.astype(x.dtype)
 
 
+def _permute_slabs(P, x, G: int, HW: int, transpose: bool = False):
+    """Apply a (HW, HW) permutation matmul to each of G row slabs of x.
+
+    0/1-matrix matmuls are bit-exact row copies (1.0*v products, +0 sums),
+    so moving the residual stream through them preserves parity."""
+    dn = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
+    return jnp.concatenate(
+        [jax.lax.dot_general(P, x[g * HW : (g + 1) * HW], dimension_numbers=dn,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
+         for g in range(G)],
+        axis=0,
+    )
+
+
+def _one_block_noperm(x, qg, kg, p, mask, heads: int, G: int, HW: int, nW: int, N: int):
+    """One swin block with x ALREADY in this block's window-major order (the
+    forward pair composes the three layout changes into standalone
+    permutation matmuls — see _kernel).  qg/kg pre-permuted per image."""
+    C = x.shape[-1]
+    scale = (C // heads) ** -0.5
+    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
+    qkv = jnp.dot(y, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
+    qkv = qkv.astype(x.dtype)
+    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
+    if qg is not None:
+        q = (q.reshape(G, HW, C) + qg.astype(x.dtype)[None]).reshape(G * HW, C)
+        k = (k.reshape(G, HW, C) + kg.astype(x.dtype)[None]).reshape(G * HW, C)
+    out = _window_attn(
+        q.reshape(G * nW, N, C), k.reshape(G * nW, N, C), v.reshape(G * nW, N, C),
+        mask, heads, scale, G, nW, N,
+    ).reshape(G * HW, C)
+    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
+    x = x + out.astype(x.dtype)
+    y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
+    h = jnp.dot(y, p["fc1_w"], preferred_element_type=jnp.float32) + p["fc1_b"]
+    h = _act(h, "gelu").astype(x.dtype)
+    o = jnp.dot(h, p["fc2_w"], preferred_element_type=jnp.float32) + p["fc2_b"]
+    return x + o.astype(x.dtype)
+
+
 _P_KEYS = ("ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b",
            "ln2_g", "ln2_b", "fc1_w", "fc1_b", "fc2_w", "fc2_b")
 
@@ -306,7 +346,11 @@ def _kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: bool)
     if has_guid:
         qg1_ref, kg1_ref, qg2_ref, kg2_ref = next(it), next(it), next(it), next(it)
     mask_ref = next(it)
-    perm1_ref, perm2_ref = next(it), next(it)
+    # perm12 = P2 @ P1^T maps block-1 window order straight to block-2's:
+    # running both blocks entirely in window-major space (row-wise LN / MLP /
+    # residual commute with permutations) needs 3 permutation matmuls per
+    # pair instead of 4
+    perm1_ref, perm12_ref, perm2_ref = next(it), next(it), next(it)
     p1 = {k: next(it) for k in _P_KEYS}
     p2 = {k: next(it) for k in _P_KEYS}
     o_ref = next(it)
@@ -325,8 +369,11 @@ def _kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: bool)
         qg1, kg1 = qg1_ref[0], kg1_ref[0]
         qg2, kg2 = qg2_ref[0], kg2_ref[0]
     mask = mask_ref[:]
-    x = _one_block(x, qg1, kg1, P1, None, perm1_ref[:], heads, G, HW, nW, N)
-    x = _one_block(x, qg2, kg2, P2, mask, perm2_ref[:], heads, G, HW, nW, N)
+    x = _permute_slabs(perm1_ref[:], x, G, HW)
+    x = _one_block_noperm(x, qg1, kg1, P1, None, heads, G, HW, nW, N)
+    x = _permute_slabs(perm12_ref[:], x, G, HW)
+    x = _one_block_noperm(x, qg2, kg2, P2, mask, heads, G, HW, nW, N)
+    x = _permute_slabs(perm2_ref[:], x, G, HW, transpose=True)
     o_ref[0] = x.reshape(G, HW, -1)
 
 
@@ -370,6 +417,11 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
     src2 = _partition_indices(H, W, win, win // 2)
     perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
     perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
+    # block-1-window-order -> block-2-window-order composition: row t of the
+    # win2 layout holds grid token src2[t], which sits at row inv1[src2[t]]
+    # of the win1 layout
+    inv1 = np.argsort(src1)
+    perm12 = jnp.asarray(_perm_matrix(inv1[src2]), x.dtype)
 
     grid = (B, Tp // G)
     x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
@@ -387,7 +439,7 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
                 specs.append(g_spec)
     operands.append(mask)
     specs.append(const(mask))
-    for a in (perm1, perm2):
+    for a in (perm1, perm12, perm2):
         operands.append(a)
         specs.append(const(a))
     for p in (p1, p2):
@@ -396,7 +448,8 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
             specs.append(const(a))
 
     flops_attn = 2 * B * Tp * nW * heads * 2 * N * C * N  # lane-masked full-width
-    flops_mm = 2 * B * Tp * HW * C * (3 * C + C + 8 * C + 2 * HW)
+    # 3 composed permutation matmuls per pair (1.5 * HW per block on average)
+    flops_mm = 2 * B * Tp * HW * C * (3 * C + C + 8 * C + 1.5 * HW)
     out = pl.pallas_call(
         functools.partial(_kernel, heads=heads, HW=HW, nW=nW, N=N, G=G, has_guid=has_guid),
         out_shape=jax.ShapeDtypeStruct((B, Tp, HW, C), x.dtype),
@@ -405,7 +458,7 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
         out_specs=x_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (flops_attn + flops_mm),
+            flops=int(2 * (flops_attn + flops_mm)),
             bytes_accessed=2 * B * Tp * HW * C * x.dtype.itemsize,
             transcendentals=2 * B * Tp * (nW * heads * N * N + HW * 4 * C),
         ),
