@@ -18,10 +18,12 @@ Two TPU-specific moves shape the attention machinery:
   relayouts for the slice/reshape/concat window partition (and its inverse)
   dominated the kernel (~6 ms/layer measured; softmax itself is ~2 ms).
   Both the shift roll and the (win, win) partition are one row permutation
-  of the flattened (H*W, C) token matrix, so each block multiplies by a
-  constant one-hot (H*W, H*W) matrix before qkv and by its transpose after
-  attention — 2 MXU matmuls replace ~30 VPU relayout copies.  Window rows
-  then materialize as pure leading-dim reshapes.
+  of the flattened (H*W, C) token matrix — constant one-hot (H*W, H*W)
+  matmuls replace ~30 VPU relayout copies, and window rows materialize as
+  pure leading-dim reshapes.  Because LN/MLP/residual are row-wise, both
+  blocks run entirely in window-major space and the layout hops compose:
+  3 permutation matmuls per forward pair (in, P2@P1^T between blocks, out)
+  instead of 4, and 5 per backward step instead of 10.
 
 - **Lane-masked heads.** Mosaic cannot split the 128-lane channel dim into
   heads, so per head the QK^T runs full-width against a lane-masked q
@@ -36,7 +38,9 @@ via the algebraic split linear(concat(x, g)) == linear_x(x) + linear_g(g):
 the per-image halves (qg/kg) are projected and pre-permuted once per image
 outside and broadcast across class slabs by the BlockSpec index map.
 
-Backward: recompute-based custom VJP through the plain-XLA reference pair.
+Backward: analytic Pallas kernel — recompute the forward in VMEM, reverse
+every stage, accumulate parameter/guidance grads across sequential grid
+steps (pl.when(first) init + add).
 """
 
 from __future__ import annotations
@@ -107,48 +111,6 @@ def _window_attn(q, k, v, mask, heads: int, scale: float, G: int, nW: int, N: in
     ).astype(q.dtype)  # (G*nW, heads*N, C) full-width rows
     # per-head lane mask then head-sum reassembles the partitioned channels
     return jnp.sum((out * hsel[None]).reshape(G * nW, heads, N, C), axis=1)
-
-
-def _one_block(x, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: int):
-    """x: (G*HW, C) grid-row-major tokens; qg/kg: (HW, C) pre-permuted
-    per-image guidance or None; P: (HW, HW) window-partition permutation."""
-    C = x.shape[-1]
-    scale = (C // heads) ** -0.5
-    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
-    # window-major permutation (shift folded in): one matmul per slab
-    yp = jnp.concatenate(
-        [jnp.dot(P, y[g * HW : (g + 1) * HW], preferred_element_type=jnp.float32).astype(x.dtype)
-         for g in range(G)],
-        axis=0,
-    )
-    qkv = jnp.dot(yp, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
-    qkv = qkv.astype(x.dtype)
-    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
-    if qg is not None:
-        qga = qg.astype(x.dtype)
-        kga = kg.astype(x.dtype)
-        q = (q.reshape(G, HW, C) + qga[None]).reshape(G * HW, C)
-        k = (k.reshape(G, HW, C) + kga[None]).reshape(G * HW, C)
-    out = _window_attn(
-        q.reshape(G * nW, N, C), k.reshape(G * nW, N, C), v.reshape(G * nW, N, C),
-        mask, heads, scale, G, nW, N,
-    )  # (G*nW, N, C)
-    out = out.reshape(G, HW, C)
-    # inverse permutation = P^T: contract over P's rows
-    out = jnp.concatenate(
-        [jax.lax.dot_general(
-            P, out[g], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype) for g in range(G)],
-        axis=0,
-    )
-    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
-    x = x + out.astype(x.dtype)
-    y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
-    h = jnp.dot(y, p["fc1_w"], preferred_element_type=jnp.float32) + p["fc1_b"]
-    h = _act(h, "gelu").astype(x.dtype)
-    o = jnp.dot(h, p["fc2_w"], preferred_element_type=jnp.float32) + p["fc2_b"]
-    return x + o.astype(x.dtype)
 
 
 def _permute_slabs(P, x, G: int, HW: int, transpose: bool = False):
@@ -227,14 +189,21 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     """Analytic backward of one swin block: recompute-in-VMEM forward, then
     reverse every stage.  x: (G*HW, C) block input; dout: (G*HW, C) cotangent
     of the block output.  Returns (dx, param-grad dict, dqg, dkg) — parameter
-    and guidance grads as f32, dx in x.dtype."""
+    and guidance grads as f32, dx in x.dtype.
+
+    P=None means x/dout are ALREADY in this block's window-major order (the
+    pair driver composes the layout hops — see _bwd_kernel); the four
+    per-block permutation matmuls drop out, and every emitted gradient is
+    basis-consistent (param grads contract over rows, so they are
+    permutation-invariant; dqg/dkg stay in the block's window order, the
+    same basis the pre-permuted guidance arrives in)."""
     C = x.shape[-1]
     scale = (C // heads) ** -0.5
     f32 = jnp.float32
-    # ---- forward recompute (same rounding as _one_block)
+    # ---- forward recompute (same rounding as _one_block_noperm)
     xh1, r1 = _ln_stats(x.astype(f32))
     y1 = (xh1 * p["ln1_g"] + p["ln1_b"]).astype(x.dtype)
-    yp = jnp.concatenate(
+    yp = y1 if P is None else jnp.concatenate(
         [jnp.dot(P, y1[g * HW : (g + 1) * HW], preferred_element_type=f32).astype(x.dtype)
          for g in range(G)], axis=0)
     qkv = (jnp.dot(yp, p["qkv_w"], preferred_element_type=f32) + p["qkv_b"]).astype(x.dtype)
@@ -262,7 +231,7 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     OF = jax.lax.dot_general(A, vw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32).astype(x.dtype)
     O = jnp.sum((OF * hsel[None]).reshape(G * nW, heads, N, C), axis=1)
-    o = jnp.concatenate(
+    o = O.reshape(G * HW, C) if P is None else jnp.concatenate(
         [jax.lax.dot_general(P, O.reshape(G, HW, C)[g],
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=f32).astype(x.dtype)
@@ -297,9 +266,9 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     dproj_b = jnp.sum(dx2, axis=0, keepdims=True)
     do = jax.lax.dot_general(dx2c, p["proj_w"], dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32).astype(x.dtype)
-    dO = jnp.concatenate(
+    dO = (do if P is None else jnp.concatenate(
         [jnp.dot(P, do[g * HW : (g + 1) * HW], preferred_element_type=f32).astype(x.dtype)
-         for g in range(G)], axis=0).reshape(G * nW, N, C)
+         for g in range(G)], axis=0)).reshape(G * nW, N, C)
     dOF = jnp.tile(dO, (1, heads, 1)) * hsel[None]
     dA = jax.lax.dot_general(dOF, vw, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                              preferred_element_type=f32)
@@ -327,7 +296,7 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     dqkv_b = jnp.sum(dqkv.astype(f32), axis=0, keepdims=True)
     dyp = jax.lax.dot_general(dqkv, p["qkv_w"], dimension_numbers=(((1,), (1,)), ((), ())),
                               preferred_element_type=f32).astype(x.dtype)
-    dy1 = jnp.concatenate(
+    dy1 = dyp.astype(f32) if P is None else jnp.concatenate(
         [jax.lax.dot_general(P, dyp[g * HW : (g + 1) * HW],
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=f32)
@@ -474,7 +443,10 @@ def _bwd_kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: b
     if has_guid:
         qg1_ref, kg1_ref, qg2_ref, kg2_ref = next(it), next(it), next(it), next(it)
     mask_ref = next(it)
-    perm1_ref, perm2_ref = next(it), next(it)
+    # same layout composition as the forward kernel: everything runs in
+    # window-major space, with 5 permutation matmuls per step instead of 10
+    # (x in, cotangent in, hop between blocks, hop back, dx out)
+    perm1_ref, perm12_ref, perm2_ref = next(it), next(it), next(it)
     p1 = {k: next(it) for k in _P_KEYS}
     p2 = {k: next(it) for k in _P_KEYS}
     dx_ref = next(it)
@@ -494,12 +466,17 @@ def _bwd_kernel(*refs, heads: int, HW: int, nW: int, N: int, G: int, has_guid: b
         qg1, kg1 = qg1_ref[0], kg1_ref[0]
         qg2, kg2 = qg2_ref[0], kg2_ref[0]
     mask = mask_ref[:]
+    xp = _permute_slabs(perm1_ref[:], x, G, HW)                 # grid -> win1
+    dx3p = _permute_slabs(perm2_ref[:], dx3, G, HW)             # grid -> win2
     # block1 forward recompute feeds block2's backward
-    x1 = _one_block(x, qg1, kg1, P1, None, perm1_ref[:], heads, G, HW, nW, N)
-    dx2, g2, dqg2, dkg2 = _block_bwd(x1, dx3, qg2, kg2, P2, mask, perm2_ref[:],
-                                     heads, G, HW, nW, N)
-    dx0, g1, dqg1, dkg1 = _block_bwd(x, dx2, qg1, kg1, P1, None, perm1_ref[:],
-                                     heads, G, HW, nW, N)
+    x1p = _one_block_noperm(xp, qg1, kg1, P1, None, heads, G, HW, nW, N)
+    x2in = _permute_slabs(perm12_ref[:], x1p, G, HW)            # win1 -> win2
+    dx2p, g2, dqg2, dkg2 = _block_bwd(x2in, dx3p, qg2, kg2, P2, mask, None,
+                                      heads, G, HW, nW, N)
+    dx2w1 = _permute_slabs(perm12_ref[:], dx2p, G, HW, transpose=True)  # win2 -> win1
+    dx0p, g1, dqg1, dkg1 = _block_bwd(xp, dx2w1, qg1, kg1, P1, None, None,
+                                      heads, G, HW, nW, N)
+    dx0 = _permute_slabs(perm1_ref[:], dx0p, G, HW, transpose=True)     # win1 -> grid
     dx_ref[0] = dx0.reshape(G, HW, -1).astype(dx_ref.dtype)
 
     b, t = pl.program_id(0), pl.program_id(1)
@@ -542,6 +519,7 @@ def _pallas_pair_bwd(x, g, guid4, p1, p2, mask, heads: int, win: int, interpret:
     src2 = _partition_indices(H, W, win, win // 2)
     perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
     perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
+    perm12 = jnp.asarray(_perm_matrix(np.argsort(src1)[src2]), x.dtype)
 
     grid = (B, Tp // G)
     x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
@@ -557,7 +535,7 @@ def _pallas_pair_bwd(x, g, guid4, p1, p2, mask, heads: int, win: int, interpret:
                 specs.append(g_spec)
     operands.append(mask)
     specs.append(const(mask))
-    for a in (perm1, perm2):
+    for a in (perm1, perm12, perm2):
         operands.append(a)
         specs.append(const(a))
     flat1, flat2 = _flat_params(p1, x.dtype), _flat_params(p2, x.dtype)
