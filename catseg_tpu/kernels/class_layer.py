@@ -24,8 +24,9 @@ Three tricks make it TPU-shaped:
   The normalizer z[l, h] = Q_h[l] . Ksum_h becomes (Q * Ksum) @
   blockdiag_ones — per-head lane-group sums broadcast back to channels.
 
-Backward: recompute-based custom VJP through a plain-XLA reference with
-identical math.
+Backward: analytic Pallas kernel (recompute in VMEM, reverse each stage,
+accumulate param grads across grid steps); falls back to autodiff through
+the plain-XLA reference off-TPU.
 """
 
 from __future__ import annotations
