@@ -35,6 +35,8 @@ def main(argv=None):
     ap.add_argument("--tta", action="store_true", help="hflip TTA (test_with_TTA)")
     ap.add_argument("--eval-batch", type=int, default=2,
                     help="images per device dispatch (single-device sliding eval)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the first benchmark here")
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
     apply_device(args)
@@ -45,12 +47,18 @@ def main(argv=None):
     if args.benchmarks.strip() == "all":
         args.benchmarks = DEFAULT_BENCHMARKS
     results = {}
-    for bench in args.benchmarks.split(","):
+    import contextlib
+
+    from ..utils.profiling import trace
+
+    for i, bench in enumerate(args.benchmarks.split(",")):
         bench = bench.strip()
-        m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
-                               sliding=not args.whole_image, dump_visuals=args.dump_visuals,
-                               dump_predictions=args.dump_predictions, tta=args.tta,
-                               eval_batch=args.eval_batch)
+        prof = trace(args.profile) if (args.profile and i == 0) else contextlib.nullcontext()
+        with prof:
+            m = evaluate_benchmark(params, cfg, bench, root=args.data_root, limit=args.limit,
+                                   sliding=not args.whole_image, dump_visuals=args.dump_visuals,
+                                   dump_predictions=args.dump_predictions, tta=args.tta,
+                                   eval_batch=args.eval_batch)
         if args.seen_indexes and args.unseen_indexes:
             # gzero: seen/unseen/harmonic IoU split (plain_train_net.py:48-228)
             from ..evaluation.miou import gzero_metrics
