@@ -27,6 +27,15 @@ from . import templates as _templates
 from .tokenizer import ClipBPE, tokenize
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_encode(variant: CLIPVariant, dtype_name: str):
+    """One persistent jitted text encoder per (variant, dtype): a fresh
+    jax.jit wrapper per call would recompile for every benchmark in a
+    multi-benchmark eval run (jit caches on wrapper identity)."""
+    return jax.jit(functools.partial(
+        encode_text, variant=variant, compute_dtype=jnp.dtype(dtype_name)))
+
+
 def encode_texts_batched(
     clip_params: dict,
     token_ids: np.ndarray,
@@ -37,9 +46,7 @@ def encode_texts_batched(
     """Encode (N, 77) token rows in fixed-size jitted batches -> (N, E) fp32."""
     # causal mask => truncating past max(EOT) is exact (see truncate_context)
     token_ids = truncate_context(token_ids)
-    fn = jax.jit(
-        functools.partial(encode_text, variant=variant, compute_dtype=compute_dtype),
-    )
+    fn = _jitted_encode(variant, jnp.dtype(compute_dtype).name)
     N = token_ids.shape[0]
     outs = []
     for i in range(0, N, batch):
