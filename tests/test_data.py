@@ -120,3 +120,24 @@ def test_generator_prefetcher():
 
     with _pytest.raises(ValueError, match="corrupt sample"):
         next(pf)
+
+
+def test_bench_natural_image_statistics():
+    """bench.py's synthetic eval inputs: deterministic, uint8, and in the
+    calibrated compressibility band of real photographs (zlib-1 1.3-1.7x;
+    white noise would be ~1.05x, solid color far above)."""
+    import os
+    import sys
+    import zlib
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import natural_image
+
+    rng = np.random.RandomState(0)
+    img = natural_image(rng, 320, 427)
+    assert img.shape == (320, 427, 3) and img.dtype == np.uint8
+    raw = img.tobytes()
+    ratio = len(raw) / len(zlib.compress(raw, 1))
+    assert 1.3 < ratio < 1.8, ratio
+    img2 = natural_image(np.random.RandomState(0), 320, 427)
+    np.testing.assert_array_equal(img, img2)
