@@ -82,3 +82,22 @@ def apply_device(args):
         import jax
 
         jax.config.update("jax_platforms", dev)
+
+
+def probe_device(retries: int = 1, wait_s: float = 10.0) -> None:
+    """One tiny device op before real work: a freshly restarted process can
+    hit a transient FAILED_PRECONDITION on the tunneled chip — retry once
+    instead of dying mid-CLI (same insurance bench.py carries)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    for attempt in range(retries + 1):
+        try:
+            jax.block_until_ready(jnp.zeros((8, 8)) + 1.0)
+            return
+        except Exception:
+            if attempt == retries:
+                raise
+            time.sleep(wait_s)

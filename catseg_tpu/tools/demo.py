@@ -22,7 +22,7 @@ from ..data.loader import load_image, resize_shortest_edge
 from ..infer.pipeline import Predictor
 from ..infer.tta import TTAPredictor
 from ..infer.visualize import build_palette, overlay
-from .common import add_device_arg, apply_device, load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, probe_device, resolve_config
 
 
 def main(argv=None):
@@ -47,6 +47,7 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     apply_device(args)
+    probe_device()
 
     cfg = resolve_config(args.config, args.overrides).replace(sliding_window=True, pooling_size=(1, 1))
     params = load_params(args.checkpoint, cfg)

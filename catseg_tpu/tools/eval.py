@@ -13,7 +13,7 @@ import argparse
 import json
 
 from ..evaluation.harness import evaluate_benchmark
-from .common import add_device_arg, apply_device, load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, probe_device, resolve_config
 
 DEFAULT_BENCHMARKS = "ade150,ade847,voc20,voc20b,pc59,pc459"
 
@@ -40,6 +40,7 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*", help="config KEY=VALUE overrides")
     args = ap.parse_args(argv)
     apply_device(args)
+    probe_device()
 
     cfg = resolve_config(args.config, args.overrides)
     params = load_params(args.checkpoint, cfg)

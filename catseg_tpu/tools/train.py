@@ -22,7 +22,7 @@ from ..data.mapper import train_batches
 from ..text.tokenizer import tokenize
 from ..train import init_train_state
 from ..train.loop import train
-from .common import add_device_arg, apply_device, load_params, resolve_config
+from .common import add_device_arg, apply_device, load_params, probe_device, resolve_config
 
 
 def main(argv=None):
@@ -44,6 +44,7 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     apply_device(args)
+    probe_device()
 
     cfg = resolve_config(args.config, args.overrides)
     os.makedirs(args.output, exist_ok=True)
