@@ -652,6 +652,10 @@ def fused_swin_pair(x, guid4, p1, p2, mask, heads: int, win: int):
     fc1_w/b, fc2_w/b; mask: (nW, N, N) fp32 additive mask for the shifted
     block.  Requires H, W divisible by win and C a multiple of 128.
     """
+    import os
+
+    if os.environ.get("CATSEG_NO_PALLAS_SWIN"):  # debug/rollback escape hatch
+        return _reference_pair(x, guid4, p1, p2, mask, heads, win)
     backend = jax.default_backend()
     if backend == "tpu":
         return _pallas_pair(x, guid4, p1, p2, mask, heads, win, interpret=False)
