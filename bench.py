@@ -146,9 +146,16 @@ def measure_train(cfg, batch, budget_s=30.0):
 
     state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
-    tokens = rng.randint(1, 1000, (cfg.num_classes, cfg.clip.context)).astype(np.int32)
+    # realistic prompt tokenizations: "a photo of a {name}" style templates
+    # run 6-16 tokens, then EOT, then zero padding (the train step statically
+    # truncates to max(EOT)+1 — feeding EOT at position 76 would measure a
+    # full-77 context no real class list pays for)
+    tokens = np.zeros((cfg.num_classes, cfg.clip.context), np.int32)
     tokens[:, 0] = 49406
-    tokens[:, -1] = 49407
+    for t in range(cfg.num_classes):
+        ln = rng.randint(6, 16)
+        tokens[t, 1:ln] = rng.randint(1, 40000, ln - 1)
+        tokens[t, ln] = 49407
     step = make_train_step(cfg, tx, tokens)
     images = jnp.asarray(rng.randint(0, 255, (batch, cfg.crop_size, cfg.crop_size, 3)).astype(np.float32))
     targets = jnp.asarray(rng.randint(0, cfg.num_classes, (batch, cfg.crop_size, cfg.crop_size)).astype(np.int32))

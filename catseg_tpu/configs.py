@@ -67,14 +67,24 @@ CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
 @dataclass(frozen=True)
 class FusionConfig:
     """Optional second-encoder fusion pathway (reference fork Ver31/Ver14
-    families collapsed into one parameterized path, see SURVEY.md §2.4)."""
+    families collapsed into one parameterized path, see SURVEY.md §2.4).
 
-    encoder: str = "dino_vitb8"  # or "sam_vitb"
+    mode="corr" is the Ver31 dual-correlation family (DINO second cost
+    volume + dual decoder guidance); mode="sam_refine" is the Ver14 family
+    (a frozen SAM image encoder + trainable prompt-encoder/mask-decoder
+    refine per-class mask proposals, implicit_fusion_Ver14.py:28-46,368-398)."""
+
+    mode: str = "corr"  # "corr" (Ver31) | "sam_refine" (Ver14)
+    encoder: str = "dino_vitb8"  # "sam_vitb" for mode="sam_refine"
     second_corr: bool = True  # second correlation volume + fusion conv
     dual_guidance: bool = True  # second decoder-guidance pyramid
-    encoder_resolution: int = 384
+    encoder_resolution: int = 384  # 1024 for SAM (implicit_fusion_Ver14.py:148)
     clip_resolution: int = 768  # Ver31 runs CLIP at 768^2
     guidance_blocks: tuple[int, int] = (3, 7)  # dino_feat[3]/[7] (Ver31:301-302)
+    # sam_refine knobs
+    refine_from: str = "raw_corr"  # proposals: "raw_corr" (Ver14 bypasses the
+    # aggregator, FusionAggregator.py:5011-5016) | "head" (aggregated logits)
+    refine_chunk: int = 16  # classes per mask-decoder dispatch (lax.scan)
 
 
 @dataclass(frozen=True)
@@ -209,6 +219,23 @@ def fusion_ver31(**kw) -> CATSegConfig:
         text_guidance_dim=0,
         appearance_guidance_dim=512,
         fusion=FusionConfig(),
+    )
+    base.update(kw)
+    return CATSegConfig(**base)
+
+
+def fusion_ver14(**kw) -> CATSegConfig:
+    """The fork's SAM mask-refinement family (Ver14/Ver14a): CAT-Seg class
+    proposals are re-predicted per class by a SAM prompt-encoder/mask-decoder
+    over a frozen SAM ViT-B encoder at 1024² (implicit_fusion_Ver14.py:
+    28-46 BuildSAM freeze policy, 148 sam_resolution, 368-398 refinement)."""
+    base = dict(
+        fusion=FusionConfig(
+            mode="sam_refine",
+            encoder="sam_vitb",
+            encoder_resolution=1024,
+            clip_resolution=384,  # CLIP path is the standard B/16 one
+        ),
     )
     base.update(kw)
     return CATSegConfig(**base)

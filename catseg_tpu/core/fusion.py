@@ -122,23 +122,36 @@ def fusion_aggregator_forward(
 
 
 def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, cfg: CATSegConfig,
-                   normalized: bool = False, dino_images: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Full dual-encoder forward (implicit_fusion_Ver31.py:195-374).
+                   normalized: bool = False, second_images: jnp.ndarray | None = None,
+                   with_coarse: bool = False):
+    """Fusion meta-architecture dispatch.
+
+    mode="corr": Ver31 dual-correlation forward (implicit_fusion_Ver31.py:
+    195-374).  mode="sam_refine": Ver14 SAM mask refinement
+    (implicit_fusion_Ver14.py:368-398) — returns the refined logits, or
+    ``(coarse, refined)`` when ``with_coarse`` (the training branch
+    supervises both, Ver14:413-415).
 
     images: (B, H, W, 3) raw RGB (or CLIP-normalized when ``normalized``,
     for the static-canvas eval path that pads after normalization).  When
-    ``dino_images`` is None the DINO input is derived from the
+    ``second_images`` is None the second encoder's input is derived from the
     CLIP-normalized, CLIP-resolution image exactly as the reference's
-    sliding-window branch does (implicit_fusion_Ver31.py:259-260); the
-    non-sliding branch instead resizes the padded tensor to the DINO
-    resolution directly (implicit_fusion_Ver31.py:239-240), which the
-    canvas eval path reproduces by passing ``dino_images`` explicitly.
+    sliding-window branches do (implicit_fusion_Ver31.py:259-260,
+    implicit_fusion_Ver14.py:274); the non-sliding branches instead resize
+    the padded tensor to the second resolution directly
+    (implicit_fusion_Ver31.py:239-240, Ver14:241), which the canvas eval
+    path reproduces by passing ``second_images`` explicitly.
     """
+    if cfg.fusion.mode == "sam_refine":
+        return _sam_refine_forward(params, images, text_feats, cfg,
+                                   normalized=normalized, second_images=second_images,
+                                   with_coarse=with_coarse)
     fus = cfg.fusion
     dtype = jnp.dtype(cfg.compute_dtype)
     clip_images = images if normalized else normalize_clip(images)
     if clip_images.shape[1:3] != (fus.clip_resolution, fus.clip_resolution):
         clip_images = resize_bilinear(clip_images, (fus.clip_resolution, fus.clip_resolution))
+    dino_images = second_images
     if dino_images is None:
         dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
 
@@ -185,7 +198,7 @@ def sam_mask_refine(
     sam_feat: jnp.ndarray,
     chunk: int = 16,
 ) -> jnp.ndarray:
-    """Ver14-style refinement (implicit_fusion_Ver14.py:298-381): per-class
+    """Ver14-style refinement (implicit_fusion_Ver14.py:368-398): per-class
     coarse logit maps become SAM mask prompts and the mask decoder re-predicts
     each class's mask against the SAM image embedding.
 
@@ -193,12 +206,14 @@ def sam_mask_refine(
     output).  Returns (B, T, 4*gh, 4*gw) refined mask logits.  Classes are
     scanned in chunks to bound memory.
     """
-    from ..ops import resize_bilinear
+    from ..ops.resize import resize_nearest
     from .sam_decoder import dense_pe, embed_masks, mask_decoder
 
     B, T = coarse_logits.shape[:2]
     gh, gw = sam_feat.shape[1:3]
-    prompts = resize_bilinear(
+    # the reference upsamples proposals to the 256² prompt grid with
+    # F.interpolate's default NEAREST mode (implicit_fusion_Ver14.py:368)
+    prompts = resize_nearest(
         coarse_logits.reshape(B * T, *coarse_logits.shape[2:])[..., None], (4 * gh, 4 * gw)
     )  # (B*T, 4gh, 4gw, 1), B-major
     feats = jnp.repeat(sam_feat, T, axis=0)  # aligned with the B-major flatten
@@ -228,10 +243,89 @@ def sam_mask_refine(
     return refined.reshape(B, T, *refined.shape[1:])
 
 
+def _sam_refine_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray,
+                        cfg: CATSegConfig, normalized: bool = False,
+                        second_images: jnp.ndarray | None = None,
+                        with_coarse: bool = False):
+    """Ver14 forward: standard CAT-Seg proposals + SAM mask refinement.
+
+    Proposals are the raw CLIP correlation (refine_from="raw_corr", the
+    registered Ver14 aggregator bypasses aggregation and returns clip_corr,
+    FusionAggregator.py:5011-5016) or the aggregated head logits
+    (refine_from="head", the Ver14a/b sub-family shape).  The SAM encoder
+    input is the CLIP-normalized image resized to the SAM resolution — NOT
+    SAM-normalized (implicit_fusion_Ver14.py:274).  Returns refined logits
+    (B, T, 256, 256); with ``with_coarse``, ``(coarse, refined)``.
+
+    Divergence from the reference, by necessity: Ver14's pad_len branch
+    references an undefined name and crashes for T > pad_len
+    (FusionAggregator.py:4950 ``avg = corr...`` before ``corr`` exists), so
+    the large-vocab path here follows the family convention instead — top-k
+    by max corr, refine only the kept classes, scatter back with -100
+    (model.py:694-724 semantics).
+    """
+    from .sam import SAM_VARIANTS, encode_image as sam_encode
+
+    fus = cfg.fusion
+    dtype = jnp.dtype(cfg.compute_dtype)
+    clip_images = images if normalized else normalize_clip(images)
+    if clip_images.shape[1:3] != (cfg.clip_resolution, cfg.clip_resolution):
+        clip_images = resize_bilinear(clip_images, (cfg.clip_resolution, cfg.clip_resolution))
+    sam_images = second_images
+    if sam_images is None:
+        sam_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
+
+    from .catseg import clip_guidance_features
+
+    img_feats, guidance = clip_guidance_features(params, clip_images, cfg)
+    B = img_feats.shape[0]
+    if text_feats.ndim == 3:
+        text_feats = jnp.broadcast_to(text_feats[None], (B,) + text_feats.shape)
+    text_feats = text_feats.astype(dtype)
+    T = text_feats.shape[1]
+
+    classes = None
+    if fus.refine_from == "head":
+        from .aggregator import aggregator_forward
+
+        coarse = aggregator_forward(params["agg"], img_feats, text_feats, guidance, cfg)
+    else:  # "raw_corr"
+        corr = correlation(img_feats, text_feats)  # (B, T, H, W, P)
+        if cfg.pad_len > 0 and T > cfg.pad_len:
+            classes = topk_classes(corr, cfg.pad_len)
+            corr = gather_classes(corr, classes)
+        coarse = corr[..., 0].astype(jnp.float32)  # P=1 squeeze (Ver14: clip_corr.squeeze(1))
+
+    sam_feat = sam_encode(params["sam"], sam_images.astype(dtype),
+                          SAM_VARIANTS[fus.encoder], compute_dtype=dtype)
+    refined = sam_mask_refine(params["sam"], params["sam_pe"], params["sam_dec"],
+                              coarse.astype(dtype), sam_feat, chunk=fus.refine_chunk)
+    refined = refined.astype(jnp.float32)
+    if classes is not None:
+        coarse = scatter_full_logits(coarse, classes, T)
+        refined = scatter_full_logits(refined, classes, T)
+    if with_coarse:
+        return coarse, refined
+    return refined
+
+
 def init_fusion_params(rng, cfg: CATSegConfig) -> dict:
     """Random-init fusion model parameters (Ver31 layout)."""
     from .aggregator import _init_conv
     from .catseg import init_catseg_params
+
+    if cfg.fusion.mode == "sam_refine":
+        # Ver14 layout: the full standard model + frozen SAM encoder +
+        # trainable prompt-encoder/mask-decoder (implicit_fusion_Ver14.py:28-46)
+        from .sam import SAM_VARIANTS, init_sam_params
+        from .sam_decoder import init_sam_prompt_decoder
+
+        ka, kb, kc = jax.random.split(rng, 3)
+        svar = SAM_VARIANTS[cfg.fusion.encoder]
+        base = init_catseg_params(ka, cfg)
+        base["sam"] = init_sam_params(kb, svar)
+        base["sam_pe"], base["sam_dec"] = init_sam_prompt_decoder(kc, dim=svar.out_chans)
+        return base
 
     k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 7)
     base = init_catseg_params(k1, cfg)

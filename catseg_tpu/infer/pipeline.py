@@ -209,10 +209,10 @@ def whole_image_probs_from_canvas(
         Rd = cfg.fusion.encoder_resolution
         whd = bilinear_row_weights_dynamic(Rd, ph, Hc)
         wwd = bilinear_row_weights_dynamic(Rd, pw, Wc)
-        dino = jnp.einsum("hwc,Hh->Hwc", img, whd)
-        dino = jnp.einsum("Hwc,Ww->HWc", dino, wwd)
+        second = jnp.einsum("hwc,Hh->Hwc", img, whd)
+        second = jnp.einsum("Hwc,Ww->HWc", second, wwd)
         logits = fusion_forward(params, imgR[None], text_feats, cfg, normalized=True,
-                                dino_images=dino[None])[0]
+                                second_images=second[None])[0]
         return jax.nn.sigmoid(logits.astype(jnp.float32)).transpose(1, 2, 0)
     img = imgR
     from ..core.catseg import clip_guidance_features

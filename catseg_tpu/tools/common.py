@@ -15,6 +15,7 @@ PRESETS = {
     "vith336": configs.vith336,
     "vitg336": configs.vitg336,
     "fusion_ver31": configs.fusion_ver31,
+    "fusion_ver14": configs.fusion_ver14,
 }
 
 

@@ -10,7 +10,8 @@ family end to end with random weights and synthetic inputs:
 
 Families: b16 (ViT-B/16 sliding eval), t847 (ADE-847-sized class list →
 pad_len top-k truncation path), l14 (ViT-L/14@336), h14 (OpenCLIP ViT-H
-tier), fusion (Ver31 dual-encoder), train (one batch-4 training step).
+tier), fusion (Ver31 dual-encoder), sam_refine (Ver14 SAM mask refinement),
+train (one batch-4 training step).
 """
 
 from __future__ import annotations
@@ -115,6 +116,31 @@ def smoke_fusion():
     return f"forward {((time.time() - t0) / 5 * 1000):.1f} ms/img"
 
 
+def smoke_sam_refine():
+    """Ver14 family: B/16 proposals + per-class SAM mask refinement at the
+    real SAM resolution (1024² encoder, 64² embedding, 256² refined masks)."""
+    import jax
+    import jax.numpy as jnp
+    from catseg_tpu.configs import eval_preset, fusion_ver14
+    from catseg_tpu.core import fusion
+
+    cfg = eval_preset(fusion_ver14())
+    rng = np.random.RandomState(0)
+    T = 40
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    images = jnp.asarray(rng.randint(0, 255, (1, 512, 512, 3)).astype(np.float32))
+    f = jax.jit(lambda p, im, tf: fusion.fusion_forward(p, im, tf, cfg))
+    out = f(params, images, jnp.asarray(text, jnp.bfloat16))
+    _sync(out)
+    t0 = time.time()
+    for _ in range(3):
+        out = f(params, images, jnp.asarray(text, jnp.bfloat16))
+    _sync(out)
+    return f"refined {tuple(out.shape)}  {((time.time() - t0) / 3 * 1000):.1f} ms/img"
+
+
 def smoke_train():
     import jax
     import jax.numpy as jnp
@@ -145,6 +171,7 @@ SMOKES = {
     "l14": smoke_l14,
     "h14": smoke_h14,
     "fusion": smoke_fusion,
+    "sam_refine": smoke_sam_refine,
     "train": smoke_train,
 }
 

@@ -74,6 +74,15 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
                 # ImplicitFusionCATSegVer31 with the same BCE recipe)
                 from ..core.fusion import fusion_forward
 
+                if cfg.fusion.mode == "sam_refine":
+                    # Ver14 supervises both proposals and refined masks with
+                    # the same one-hot BCE; detectron2 sums the losses dict
+                    # (implicit_fusion_Ver14.py:413-415)
+                    coarse, refined = fusion_forward(params, images, text_feats, cfg,
+                                                     with_coarse=True)
+                    hw = targets.shape[1:3]
+                    return (catseg.bce_loss(coarse, targets, cfg.ignore_value, hw)
+                            + catseg.bce_loss(refined, targets, cfg.ignore_value, hw))
                 logits = fusion_forward(params, images, text_feats, cfg)
             else:
                 logits = catseg.forward(params, images, text_feats, cfg)

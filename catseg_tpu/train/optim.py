@@ -22,8 +22,14 @@ from ..configs import CATSegConfig
 # biases in CLIP + swin/class blocks, GroupNorm in the decoder DoubleConvs)
 _NORM_KEYS = frozenset(
     {"gn1", "gn2", "norm1", "norm2", "guidance_norm", "ln_1", "ln_2",
-     "ln_final", "ln_post", "ln_pre"}
+     "ln_final", "ln_post", "ln_pre",
+     # SAM mask-decoder / prompt-encoder norms (sam_refine fusion mode)
+     "norm3", "norm4", "norm_final", "up_ln", "mask_ln1", "mask_ln2"}
 )
+
+# leaves that are nn.Embedding weights in the reference (WEIGHT_DECAY_EMBED=0,
+# config.py:26): CLIP token embedding; SAM iou/mask output tokens
+_EMBED_KEYS = frozenset({"token_embedding", "iou_token", "mask_tokens"})
 
 
 def _label_for_path(path: tuple, clip_finetune: str) -> str:
@@ -33,14 +39,28 @@ def _label_for_path(path: tuple, clip_finetune: str) -> str:
         # the reference zeroes weight decay for norm-module params
         # (train_net.py:218-220, WEIGHT_DECAY_NORM=0 detectron2 default) and
         # nn.Embedding weights (config.py:26, WEIGHT_DECAY_EMBED=0)
-        if any(k in _NORM_KEYS for k in keys) or keys[-1] == "token_embedding":
+        if any(k in _NORM_KEYS for k in keys) or keys[-1] in _EMBED_KEYS:
             return base + "_nodecay"
         return base
 
     if keys and keys[0] in ("dino", "sam"):
         # second encoders are frozen in every fusion variant
-        # (BuildDINO: implicit_fusion_Ver31.py:23-51; SAM likewise)
+        # (BuildDINO: implicit_fusion_Ver31.py:23-51; SAM encoder:
+        # implicit_fusion_Ver14.py:32-33)
         return "frozen"
+    if keys and keys[0] == "sam_pe":
+        # prompt encoder trains EXCEPT point_embeddings / no_mask_embed /
+        # not_a_point_embed (implicit_fusion_Ver14.py:36-43); the gaussian
+        # PE matrix is a torch buffer (never a parameter)
+        if keys[-1] in ("point_embeds", "no_mask", "not_a_point", "gauss"):
+            return "frozen"
+        return with_decay("main")
+    if keys and keys[0] == "sam_dec":
+        # mask decoder trains except the iou_prediction_head
+        # (implicit_fusion_Ver14.py:34-37)
+        if "iou_head" in keys:
+            return "frozen"
+        return with_decay("main")
     if not keys or keys[0] != "clip":
         return with_decay("main")
     inside_transformer = "blocks" in keys

@@ -280,12 +280,37 @@ def convert_catseg_checkpoint(sd: dict, num_layers: int = 2) -> dict:
     }
     # drop non-parameter buffers (swin attn_mask is recomputed statically)
     agg_sd = {k: v for k, v in agg_sd.items() if not k.endswith("attn_mask")}
-    return {
+    params = {
         "clip": convert_clip_state_dict(clip_sd),
         "agg": convert_aggregator_state_dict(agg_sd, num_layers=num_layers),
         "upsample1": {"w": _convt(sd["upsample1.weight"]), "b": sd["upsample1.bias"]},
         "upsample2": {"w": _convt(sd["upsample2.weight"]), "b": sd["upsample2.bias"]},
     }
+    if any(k.startswith("sam_encoder.") for k in sd):
+        # Ver14 sam_refine checkpoint: meta-arch-level SAM modules
+        # (implicit_fusion_Ver14.py:123-125 sam_encoder/sam_prompt_encoder/
+        # sam_decoder attributes)
+        import dataclasses
+        import re
+
+        from ..core.sam import SAM_VARIANTS, SAM_VITB, convert_sam_state_dict
+        from ..core.sam_decoder import convert_sam_prompt_decoder
+
+        enc_sd = {k[len("sam_encoder."):]: v for k, v in sd.items() if k.startswith("sam_encoder.")}
+        n_blocks = 1 + max(
+            int(m.group(1)) for k in enc_sd if (m := re.match(r"blocks\.(\d+)\.", k))
+        )
+        svar = next((v for v in SAM_VARIANTS.values() if v.layers == n_blocks),
+                    dataclasses.replace(SAM_VITB, layers=n_blocks))
+        params["sam"] = convert_sam_state_dict(enc_sd, svar)
+        pd_sd = {
+            "prompt_encoder." + k[len("sam_prompt_encoder."):]: v
+            for k, v in sd.items() if k.startswith("sam_prompt_encoder.")
+        }
+        pd_sd.update({k: v for k, v in sd.items() if k.startswith("sam_decoder.")})
+        pd_sd = {k.replace("sam_decoder.", "mask_decoder."): v for k, v in pd_sd.items()}
+        params["sam_pe"], params["sam_dec"] = convert_sam_prompt_decoder(pd_sd)
+    return params
 
 
 def load_torch_checkpoint(path: str) -> dict:
