@@ -169,6 +169,37 @@ def test_sam_refine_whole_image_canvas_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+def test_sam_refine_sliding_window_composition():
+    """Sliding eval dispatches each tile through the sam_refine forward and
+    folds the 4x-grid refined masks exactly like the plain family (the
+    reference's sliding branch re-runs the whole Ver14 forward per window,
+    implicit_fusion_Ver14.py:274): the pipeline path must equal a hand
+    composition of per-tile fusion forwards + fold/average."""
+    from catseg_tpu.infer.pipeline import sliding_window_probs
+    from catseg_tpu.ops import fold_divisor, fold_tiles, resize_bilinear, unfold_tiles
+
+    cfg = _cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    img640 = rng.randint(0, 255, (256, 256, 3)).astype(np.float32)
+    imgk = rng.randint(0, 255, (128, 128, 3)).astype(np.float32)
+    text = jnp.asarray(rng.randn(5, 1, 48).astype(np.float32))
+
+    got = sliding_window_probs(params, jnp.asarray(img640), jnp.asarray(imgk), text, cfg)
+    assert got.shape == (256, 256, 5)
+
+    k, s, out = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
+    tiles = unfold_tiles(jnp.asarray(img640)[None], k, s)
+    per = [fusion.fusion_forward(params, t[None], text, cfg)[0] for t in tiles]
+    per.append(fusion.fusion_forward(params, jnp.asarray(imgk)[None], text, cfg)[0])
+    per = jnp.stack([p.transpose(1, 2, 0) for p in per])  # (nt+1, 16, 16, T)
+    probs = jax.nn.sigmoid(resize_bilinear(per, (k, k)).astype(jnp.float32))
+    folded = fold_tiles(probs[:-1], (out, out), k, s)[0]
+    folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
+    want = (folded + resize_bilinear(probs[-1:], (out, out))[0]) / 2.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
 def test_sam_refine_checkpoint_convert_roundtrip():
     """A Ver14-style meta-arch state dict (sam_encoder./sam_prompt_encoder./
     sam_decoder. prefixes) converts into the sam/sam_pe/sam_dec subtrees."""
