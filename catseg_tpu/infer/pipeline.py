@@ -331,11 +331,17 @@ class Predictor:
         class_names: list[str],
         text_feats: np.ndarray | None = None,
         input_canvas: tuple[int, int] | None = None,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
         self.class_names = list(class_names)
         self.input_canvas = input_canvas  # fix one (Hc, Wc) to compile once per dataset
+        # optional device mesh: single-image sliding inference shards the
+        # tile batch over the mesh "data" axis (parallel/latency.py) —
+        # per-frame latency scales with devices instead of only throughput
+        self.mesh = mesh if (mesh is not None and mesh.shape.get("data", 1) > 1) else None
+        self._tile_sharded = None
         if text_feats is None:
             text_feats = forward_text_embeds(
                 params["clip"], self.class_names, cfg.prompt_ensemble_type, cfg.clip,
@@ -359,6 +365,14 @@ class Predictor:
         dtype = np.uint8 if image.dtype == np.uint8 else np.float32
         canvas = np.zeros((Hc, Wc, 3), dtype=dtype)
         canvas[:h, :w] = image
+        if self.mesh is not None:
+            if self._tile_sharded is None:
+                from ..parallel.latency import make_tile_sharded_probs
+
+                self._tile_sharded = make_tile_sharded_probs(cfg, self.mesh)
+            return self._tile_sharded(
+                self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32),
+                self.text_feats)
         return sliding_window_probs_from_canvas(
             self.params, jnp.asarray(canvas), jnp.asarray([h, w], np.int32),
             self.text_feats, cfg,

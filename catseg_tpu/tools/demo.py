@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--tta", action="store_true")
     ap.add_argument("--parallel", action="store_true",
                     help="pipeline host prep with device execution (AsyncPredictor)")
+    ap.add_argument("--shard-tiles", action="store_true",
+                    help="shard each image's sliding-window tiles over all "
+                         "devices (single-image latency parallelism)")
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
@@ -58,7 +61,17 @@ def main(argv=None):
     else:
         raise SystemExit("pass --classes or --class-json")
 
-    predictor = Predictor(params, cfg, class_names)
+    mesh = None
+    if args.shard_tiles:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(n_data=len(jax.devices()))
+        else:
+            print("--shard-tiles: only one device visible, running unsharded")
+    predictor = Predictor(params, cfg, class_names, mesh=mesh)
     if args.tta:
         predictor = TTAPredictor(predictor)
     palette = build_palette(len(class_names))
