@@ -211,18 +211,33 @@ def main():
     from catseg_tpu.configs import vitb384, vitl336, eval_preset
 
     # transient FAILED_PRECONDITION on back-to-back process starts is a known
-    # tunnel artifact — probe once and retry before measuring anything
+    # tunnel artifact, and the tunnel itself goes dark for stretches — probe
+    # with retries for up to ~5 min before giving up so a momentary blackout
+    # doesn't turn into a failed benchmark artifact
+    import threading
+
     import jax.numpy as jnp
 
-    for attempt in (1, 2):
-        try:
-            _sync(jnp.ones((8, 8)))
-            break
-        except Exception as e:
-            _log(f"device probe failed (attempt {attempt}): {e}")
-            if attempt == 2:
-                raise
-            time.sleep(10.0)
+    # NB a dark tunnel HANGS the scalar fetch (it does not raise), so the
+    # probe runs on a daemon thread and the main thread owns the deadline;
+    # when the tunnel revives the queued RPC drains and the probe completes.
+    probe_result: list = []
+
+    def _probe():
+        while True:
+            try:
+                _sync(jnp.ones((8, 8)))
+                probe_result.append(True)
+                return
+            except Exception as e:  # transient FAILED_PRECONDITION etc.
+                _log(f"device probe error (retrying): {e}")
+                time.sleep(10.0)
+
+    probe_t = threading.Thread(target=_probe, daemon=True)
+    probe_t.start()
+    probe_t.join(300.0)
+    if not probe_result:
+        raise RuntimeError("device unreachable after 300 s of probing (tunnel dark)")
 
     t_start = time.time()
     # headline = the product eval path (harness default eval_batch=2: one

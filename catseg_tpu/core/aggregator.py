@@ -517,6 +517,7 @@ def aggregator_forward(
     text_feats: jnp.ndarray,
     appearance_guidance: tuple,
     cfg: CATSegConfig,
+    return_classes: bool = False,
 ) -> jnp.ndarray:
     """Full Aggregator forward (model.py:683-725).
 
@@ -524,6 +525,12 @@ def aggregator_forward(
     appearance_guidance: (res3 (B,24,24,Cg), res4 (B,48,48,256), res5 (B,96,96,128)).
     Returns (B, T, 96, 96) fp32 logits; when T > pad_len only the top-k
     classes are aggregated, the rest receive -100.
+
+    With ``return_classes`` the -100 scatter is left to the caller: returns
+    ``(logits, classes)`` where logits covers only the kept classes
+    ((B, pad_len, 96, 96) when truncation fired, classes (B, pad_len) int32;
+    otherwise the full (B, T, ...) and classes None) — for downstream stages
+    that must process the kept classes only (e.g. SAM mask refinement).
     """
     T = text_feats.shape[1]
     corr = correlation(img_feats, text_feats)
@@ -565,6 +572,8 @@ def aggregator_forward(
 
     logits = conv_decoder(x, dec_guid, agg,
                           use_fused=getattr(cfg, "fused_decoder", True))
+    if return_classes:
+        return logits, classes
     if classes is not None:
         logits = scatter_full_logits(logits, classes, T)
     return logits

@@ -288,13 +288,18 @@ def _sam_refine_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarr
     if fus.refine_from == "head":
         from .aggregator import aggregator_forward
 
-        coarse = aggregator_forward(params["agg"], img_feats, text_feats, guidance, cfg)
+        # return_classes: the aggregator's pad_len top-k must also bound the
+        # SAM refinement — refine only the kept classes, scatter at the tail
+        coarse, classes = aggregator_forward(
+            params["agg"], img_feats, text_feats, guidance, cfg, return_classes=True)
     else:  # "raw_corr"
         corr = correlation(img_feats, text_feats)  # (B, T, H, W, P)
         if cfg.pad_len > 0 and T > cfg.pad_len:
             classes = topk_classes(corr, cfg.pad_len)
             corr = gather_classes(corr, classes)
-        coarse = corr[..., 0].astype(jnp.float32)  # P=1 squeeze (Ver14: clip_corr.squeeze(1))
+        # template-averaged proposals; at P=1 identical to the reference's
+        # clip_corr.squeeze(1) (which only supports P=1)
+        coarse = corr.mean(axis=-1).astype(jnp.float32)
 
     sam_feat = sam_encode(params["sam"], sam_images.astype(dtype),
                           SAM_VARIANTS[fus.encoder], compute_dtype=dtype)

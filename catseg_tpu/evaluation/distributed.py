@@ -21,29 +21,53 @@ from ..infer.pipeline import resize_argmax_dynamic, sliding_window_probs_from_ca
 from ..parallel.mesh import batch_sharding, replicate
 
 
+_step_cache: dict = {}
+
+# each flush indexes bsz*Ho*Wo counts (canvas padding rides the ignore
+# column); the device matrix spills to a host int64 before any int32 cell
+# could overflow at benchmark scale (TPU x64 is off, so the device matrix
+# cannot simply be widened)
+SPILL_PIXELS = 1_500_000_000
+
+
 def make_sharded_eval_step(cfg: CATSegConfig, mesh, text_feats, out_canvas, num_classes,
                            ignore, clamp_background=False):
     """Returns step(params, canvases (B,...), hws (B,2), out_hws (B,2), gts)
-    -> replicated (K+1, K+1) int32 cm summed over the batch."""
+    -> replicated (K+1, K+1) int32 cm summed over the batch.
 
-    def one(params, canvas, hw, out_hw, gt):
-        probs = sliding_window_probs_from_canvas(params, canvas, hw, text_feats, cfg)
-        pred = resize_argmax_dynamic(probs, out_hw, out_canvas)
-        K = num_classes
-        if clamp_background:
-            pred = jnp.minimum(pred, 20)
-        gt = gt.astype(jnp.int32)  # host uploads the smallest dtype that fits
-        g = jnp.where(gt == ignore, K, jnp.clip(gt, 0, K - 1))
-        idx = (pred * (K + 1) + g).reshape(-1)
-        return jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1).reshape(K + 1, K + 1)
+    The jitted step is cached per (cfg, mesh, shapes): pjit caches on function
+    identity, so a fresh closure per call would recompile the whole sliding
+    pipeline (~minutes) for every benchmark and every periodic training eval.
+    Text features enter as a replicated *argument* (same-shape class lists
+    reuse the executable across benchmarks)."""
+    text_feats = jnp.asarray(text_feats)
+    key = (cfg, mesh, out_canvas, num_classes, ignore, clamp_background,
+           text_feats.shape, str(text_feats.dtype))
+    cached = _step_cache.get(key)
+    if cached is None:
+        def one(params, text, canvas, hw, out_hw, gt):
+            probs = sliding_window_probs_from_canvas(params, canvas, hw, text, cfg)
+            pred = resize_argmax_dynamic(probs, out_hw, out_canvas)
+            K = num_classes
+            if clamp_background:
+                pred = jnp.minimum(pred, 20)
+            gt = gt.astype(jnp.int32)  # host uploads the smallest dtype that fits
+            g = jnp.where(gt == ignore, K, jnp.clip(gt, 0, K - 1))
+            idx = (pred * (K + 1) + g).reshape(-1)
+            return jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1).reshape(K + 1, K + 1)
 
-    def step(params, canvases, hws, out_hws, gts):
-        cms = jax.vmap(one, in_axes=(None, 0, 0, 0, 0))(params, canvases, hws, out_hws, gts)
-        return jnp.sum(cms, axis=0)
+        def step(params, text, canvases, hws, out_hws, gts):
+            cms = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))(
+                params, text, canvases, hws, out_hws, gts)
+            return jnp.sum(cms, axis=0)
 
-    bs = batch_sharding(mesh)
-    rep = replicate(mesh)
-    return jax.jit(step, in_shardings=(rep, bs, bs, bs, bs), out_shardings=rep)
+        bs = batch_sharding(mesh)
+        rep = replicate(mesh)
+        cached = jax.jit(step, in_shardings=(rep, rep, bs, bs, bs, bs), out_shardings=rep)
+        _step_cache[key] = cached
+
+    return lambda params, canvases, hws, out_hws, gts: cached(
+        params, text_feats, canvases, hws, out_hws, gts)
 
 
 def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
@@ -61,15 +85,12 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
     Hc, Wc = input_canvas
     Ho, Wo = out_canvas
     cm = jnp.zeros((num_classes + 1, num_classes + 1), jnp.int32)
+    cm_host = np.zeros((num_classes + 1, num_classes + 1), np.int64)
+    px_since_spill = 0
 
-    # GT rides the smallest dtype that fits (h2d is the eval bottleneck
-    # under the tunnel); the device widens to int32
-    if num_classes <= 255 and 0 <= ignore <= 255:
-        gt_dtype = np.uint8
-    elif num_classes <= 65535 and 0 <= ignore <= 65535:
-        gt_dtype = np.uint16
-    else:
-        gt_dtype = np.int32
+    from .miou import gt_upload_dtype
+
+    gt_dtype = gt_upload_dtype(num_classes, ignore)
     batch_canvases = np.zeros((bsz, Hc, Wc, 3), np.uint8)
     batch_hws = np.zeros((bsz, 2), np.int32)
     batch_out = np.zeros((bsz, 2), np.int32)
@@ -77,9 +98,14 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
     fill = 0
 
     def flush():
-        nonlocal fill, cm
+        nonlocal fill, cm, cm_host, px_since_spill
         if fill == 0:
             return
+        if px_since_spill + bsz * Ho * Wo > SPILL_PIXELS:
+            cm_host += np.asarray(cm, dtype=np.int64)
+            cm = jnp.zeros((num_classes + 1, num_classes + 1), jnp.int32)
+            px_since_spill = 0
+        px_since_spill += bsz * Ho * Wo
         # unused slots keep gt==ignore everywhere -> contribute only to the
         # excluded (pred, K) column
         cm = cm + step(params, jnp.asarray(batch_canvases), jnp.asarray(batch_hws),
@@ -99,4 +125,4 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
         if fill == bsz:
             flush()
     flush()
-    return np.asarray(cm, dtype=np.int64)
+    return cm_host + np.asarray(cm, dtype=np.int64)

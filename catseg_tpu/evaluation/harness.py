@@ -18,7 +18,7 @@ from ..configs import CATSegConfig, eval_preset
 from ..data.catalogs import get_dataset, load_class_names
 from ..data.loader import Prefetcher, list_dataset, load_gt, load_image, resize_shortest_edge
 from ..infer.pipeline import Predictor, resize_argmax_dynamic
-from .miou import ConfusionAccumulator
+from .miou import ConfusionAccumulator, gt_upload_dtype
 
 
 def _canvas(sizes, step: int = 256) -> tuple[int, int]:
@@ -198,14 +198,7 @@ def evaluate_benchmark(
 
         dumper = PredictionDumper(dump_predictions)
 
-    # GT uploads in the smallest dtype that fits (the tunnel's h2d path is
-    # the eval bottleneck; labels widen to int32 on device)
-    if spec.num_classes <= 255 and spec.ignore_label <= 255:
-        gt_dtype = np.uint8
-    elif spec.num_classes <= 65535 and spec.ignore_label <= 65535:
-        gt_dtype = np.uint16
-    else:
-        gt_dtype = np.int32
+    gt_dtype = gt_upload_dtype(spec.num_classes, spec.ignore_label)
 
     if (sliding and not tta and dump_visuals == 0 and dumper is None
             and eval_batch > 1 and len(pairs) > 1):

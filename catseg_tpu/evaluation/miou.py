@@ -44,20 +44,36 @@ def confusion_update(
 
 
 class ConfusionAccumulator:
+    # spill the on-device int32 matrix to a host int64 before the counts
+    # indexed since the last spill could push any cell past int32 (TPU x64
+    # is off, so the device matrix cannot simply be widened); one (K+1)^2
+    # fetch per ~1.5e9 pixels is amortized to nothing
+    _SPILL_PIXELS = 1_500_000_000
+
     def __init__(self, num_classes: int, ignore_label: int, clamp_background: bool = False):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
         self.clamp_background = clamp_background
         self.cm = jnp.zeros((num_classes + 1, num_classes + 1), jnp.int32)
+        self._host = np.zeros((num_classes + 1, num_classes + 1), np.int64)
+        self._px = 0
 
     def update(self, pred, gt) -> None:
         pred = jnp.asarray(pred, jnp.int32)
         gt = jnp.asarray(gt, jnp.int32)
+        if self._px + pred.size > self._SPILL_PIXELS:
+            self._spill()
+        self._px += pred.size
         ignore = gt == self.ignore_label
         self.cm = confusion_update(self.cm, pred, gt, ignore, self.num_classes, self.clamp_background)
 
+    def _spill(self) -> None:
+        self._host += np.asarray(self.cm, dtype=np.int64)
+        self.cm = jnp.zeros((self.num_classes + 1, self.num_classes + 1), jnp.int32)
+        self._px = 0
+
     def matrix(self) -> np.ndarray:
-        return np.asarray(self.cm, dtype=np.int64)
+        return self._host + np.asarray(self.cm, dtype=np.int64)
 
     def metrics(self) -> dict:
         return semseg_metrics(self.matrix())
@@ -102,3 +118,15 @@ def gzero_metrics(conf: np.ndarray, seen: list[int], unseen: list[int]) -> dict:
     harmonic = 2 * seen_iou * unseen_iou / max(seen_iou + unseen_iou, 1e-12)
     m.update({"mIoU_seen": seen_iou, "mIoU_unseen": unseen_iou, "hIoU": harmonic})
     return m
+
+
+def gt_upload_dtype(num_classes: int, ignore: int):
+    """Smallest numpy dtype that can carry GT labels (and the ignore value)
+    to the device — the tunnel's h2d path is the eval bottleneck, labels
+    widen to int32 on device.  A negative/oversized ignore label falls back
+    to int32 instead of silently wrapping in the unsigned dtypes."""
+    if num_classes <= 255 and 0 <= ignore <= 255:
+        return np.uint8
+    if num_classes <= 65535 and 0 <= ignore <= 65535:
+        return np.uint16
+    return np.int32

@@ -109,12 +109,22 @@ def sliding_window_probs_from_canvas(
     the runtime size (ops.resize.bilinear_row_weights_dynamic), so the only
     per-image host traffic is the image bytes themselves.
     """
+    img640, imgk = canvas_to_sliding_inputs(image_canvas, hw, cfg)
+    return sliding_window_probs(params, img640, imgk, text_feats, cfg)
+
+
+def canvas_to_sliding_inputs(canvas: jnp.ndarray, hw: jnp.ndarray, cfg: CATSegConfig):
+    """Zero-padded raw canvas -> (sw_out_res², sw_kernel²) sliding input pair.
+
+    The torch-exact bilinear weights are built in-graph from the runtime true
+    size ``hw`` (ops.resize.bilinear_row_weights_dynamic).  Single source of
+    the canvas coordinate math for the single/batched/tile-sharded pipelines
+    — any fix to the resize semantics lands in all three at once."""
     from ..ops.resize import bilinear_row_weights_dynamic
 
-    Hc, Wc = image_canvas.shape[:2]
-    img = image_canvas.astype(jnp.float32)
-    out = cfg.sw_out_res
-    k = cfg.sw_kernel
+    Hc, Wc = canvas.shape[:2]
+    img = canvas.astype(jnp.float32)
+    out, k = cfg.sw_out_res, cfg.sw_kernel
     wh640 = bilinear_row_weights_dynamic(out, hw[0], Hc)
     ww640 = bilinear_row_weights_dynamic(out, hw[1], Wc)
     whk = bilinear_row_weights_dynamic(k, hw[0], Hc)
@@ -123,7 +133,7 @@ def sliding_window_probs_from_canvas(
     img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
     imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
     imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
-    return sliding_window_probs(params, img640, imgk, text_feats, cfg)
+    return img640, imgk
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -138,25 +148,8 @@ def sliding_window_probs_from_canvas_batch(
     canvases + (n, 2) true sizes -> (n, 640, 640, T) probabilities.  The
     per-image on-device resizes vmap over the batch; one model forward
     covers all 5n tiles."""
-    from ..ops.resize import bilinear_row_weights_dynamic
-
-    Hc, Wc = image_canvases.shape[1:3]
-    out = cfg.sw_out_res
-    k = cfg.sw_kernel
-
-    def prep(canvas, hw):
-        img = canvas.astype(jnp.float32)
-        wh640 = bilinear_row_weights_dynamic(out, hw[0], Hc)
-        ww640 = bilinear_row_weights_dynamic(out, hw[1], Wc)
-        whk = bilinear_row_weights_dynamic(k, hw[0], Hc)
-        wwk = bilinear_row_weights_dynamic(k, hw[1], Wc)
-        img640 = jnp.einsum("hwc,Hh->Hwc", img, wh640)
-        img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
-        imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
-        imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
-        return img640, imgk
-
-    img640s, imgks = jax.vmap(prep)(image_canvases, hws)
+    img640s, imgks = jax.vmap(lambda c, hw: canvas_to_sliding_inputs(c, hw, cfg))(
+        image_canvases, hws)
     return sliding_window_probs_batch(params, img640s, imgks, text_feats, cfg)
 
 

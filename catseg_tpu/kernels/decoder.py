@@ -39,9 +39,12 @@ Geometry is fixed to the flagship family: base 24, decoder dims (96->64,
 48->32), i.e. ViT-B/16@384 and ViT-L/14@336 (both have 24^2 feature grids).
 Other shapes fall back to the XLA path in aggregator._up_tail.
 
-Backward: custom VJP recomputes through the plain-XLA reference
-(aggregator._up_tail composition) — exact same math, so training gradients
-are unaffected by the kernel.
+Backward: custom VJP into an analytic Pallas reverse sweep (_fused_bwd /
+_bwd_kernel below): the forward is recomputed stage by stage in VMEM and
+reversed, with parameter/guidance gradients accumulated across grid steps;
+a conv's input-grad reuses the forward machinery with flipped taps and
+negated phase carries.  Verified against jax.vjp of the XLA composition
+(tests/test_decoder_kernel.py).
 """
 
 from __future__ import annotations

@@ -24,7 +24,8 @@ _TILE = 1024
 # Exact-GELU via a degree-12 Chebyshev fit of (Phi(x) - 1/2)/x in u = x^2
 # over [0, 4.5^2], converted to the power basis in the CENTERED variable
 # s = 2u/umax - 1 in [-1, 1] (Horner there is fp32-stable: max
-# |gelu_poly - gelu_exact| = 1.3e-6, far below bf16 resolution).  Replaces
+# |gelu_poly - gelu_exact| = 1.3e-6 on the fit interval, ~1.5e-5 right at
+# the |x| = 4.5 cutoff seam — both far below bf16 resolution).  Replaces
 # an Abramowitz-Stegun erf path whose division + exp cost ~5 ms per eval
 # batch on the VPU (measured via a gelu->relu ablation of the aggregator);
 # this form is 12 FMAs + a few muls, no transcendentals.
@@ -55,7 +56,8 @@ def _poly_phi(x, coeffs):
 
 
 def gelu_exact(x):
-    """torch nn.GELU (erf form) to 1.3e-6 abs, FMA-only (no div/exp)."""
+    """torch nn.GELU (erf form) to ~1e-6 abs (1.5e-5 at the cutoff seam),
+    FMA-only (no div/exp)."""
     phi = jnp.clip(_poly_phi(x, _GELU_POLY), 0.0, 1.0)
     return jnp.where(x > _GELU_XMAX, x, jnp.where(x < -_GELU_XMAX, 0.0, x * phi))
 

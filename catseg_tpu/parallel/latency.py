@@ -42,8 +42,7 @@ def make_tile_sharded_probs(cfg: CATSegConfig, mesh):
     axis is zero-padded up to a multiple of the data-axis size (the pad
     tiles compute on black images and are dropped before the fold).
     """
-    from ..infer.pipeline import _model_forward
-    from ..ops.resize import bilinear_row_weights_dynamic
+    from ..infer.pipeline import _model_forward, canvas_to_sliding_inputs
     from .mesh import use_mesh
 
     n_data = mesh.shape["data"]
@@ -53,17 +52,8 @@ def make_tile_sharded_probs(cfg: CATSegConfig, mesh):
     @functools.partial(jax.jit, in_shardings=(rep, rep, rep, rep), out_shardings=rep)
     def fn(params, canvas, hw, text_feats):  # cfg, mesh closed over
         with use_mesh(mesh):
-            Hc, Wc = canvas.shape[:2]
-            img = canvas.astype(jnp.float32)
             out, k, s = cfg.sw_out_res, cfg.sw_kernel, cfg.sw_stride
-            wh640 = bilinear_row_weights_dynamic(out, hw[0], Hc)
-            ww640 = bilinear_row_weights_dynamic(out, hw[1], Wc)
-            whk = bilinear_row_weights_dynamic(k, hw[0], Hc)
-            wwk = bilinear_row_weights_dynamic(k, hw[1], Wc)
-            img640 = jnp.einsum("hwc,Hh->Hwc", img, wh640)
-            img640 = jnp.einsum("Hwc,Ww->HWc", img640, ww640)
-            imgk = jnp.einsum("hwc,Hh->Hwc", img, whk)
-            imgk = jnp.einsum("Hwc,Ww->HWc", imgk, wwk)
+            img640, imgk = canvas_to_sliding_inputs(canvas, hw, cfg)
 
             tiles = unfold_tiles(img640[None], k, s)  # (nt, k, k, 3)
             batch = jnp.concatenate([tiles, imgk[None]], axis=0)

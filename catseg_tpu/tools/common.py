@@ -96,7 +96,10 @@ def probe_device(retries: int = 1, wait_s: float = 10.0) -> None:
 
     for attempt in range(retries + 1):
         try:
-            jax.block_until_ready(jnp.zeros((8, 8)) + 1.0)
+            # scalar fetch, not block_until_ready: under the tunneled runtime
+            # block_until_ready returns before the device executes, so only a
+            # host-side value round-trip actually proves the chip is alive
+            assert float(jnp.sum(jnp.zeros((8, 8)) + 1.0)) == 64.0
             return
         except Exception:
             if attempt == retries:

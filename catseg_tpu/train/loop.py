@@ -10,6 +10,7 @@ class-token matrix is a static (T, 77) input baked at jit time.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import time
 from typing import Any
 
@@ -130,14 +131,35 @@ def train(
     from ..utils.events import EventWriter
     from .checkpoint import save_train_state
 
+    import signal
+
     writer = EventWriter(output_dir)
     step_fn = make_train_step(cfg, tx, text_tokens, mesh=mesh)
     params, opt_state = state.params, state.opt_state
     n = num_steps if num_steps is not None else cfg.max_iter - state.step
     t0 = time.time()
     loss = None
+
+    # Defer SIGINT/SIGTERM to iteration boundaries: the step is jitted with
+    # donated params/opt_state, so an interrupt landing inside the dispatch
+    # (a tunnel RPC — a real window every step) would leave both names bound
+    # to deleted buffers and the interrupt checkpoint itself would fail.
+    # SIGTERM gets the same treatment = preemption leaves a resumable
+    # checkpoint (capability absent in the reference; run.sh only --resume's).
+    pending = []
+    prev_handlers = {}
+
+    def _defer(signum, frame):
+        pending.append(signum)
+
+    in_main_thread = threading.current_thread() is threading.main_thread()
+    if in_main_thread:
+        for s in (signal.SIGINT, signal.SIGTERM):
+            prev_handlers[s] = signal.signal(s, _defer)
     try:
         for i in range(n):
+            if pending:
+                raise KeyboardInterrupt
             images, targets = next(data_iter)
             params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(images), jnp.asarray(targets))
             state.step += 1
@@ -156,6 +178,12 @@ def train(
             save_train_state(output_dir, params, opt_state, state.step)
             writer.write(state.step, interrupted=1.0)
         raise
+    finally:
+        # restore handlers; a signal that lands during the very last step is
+        # absorbed — the loop has finished and the caller saves model_final
+        if in_main_thread:
+            for s, h in prev_handlers.items():
+                signal.signal(s, h)
     state.params, state.opt_state = params, opt_state
     if loss is not None:
         _ = float(loss)

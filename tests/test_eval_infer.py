@@ -334,3 +334,42 @@ def test_train_interrupt_saves_checkpoint(tmp_path):
         train(state, tx, cfg, data(), tokens, num_steps=10, log_every=0,
               output_dir=str(tmp_path), checkpoint_every=10**9)
     assert latest_checkpoint(str(tmp_path)) is not None
+
+
+def test_train_signal_deferred_checkpoint(tmp_path):
+    """SIGINT landing mid-iteration — when params/opt_state may be bound to
+    donated buffers — is deferred to the loop boundary, so the interrupt
+    checkpoint is written from live arrays (and SIGTERM behaves the same:
+    preemption leaves a resumable checkpoint)."""
+    import signal
+
+    from catseg_tpu.train import init_train_state
+    from catseg_tpu.train.checkpoint import latest_checkpoint
+    from catseg_tpu.train.loop import train
+
+    cfg = mini_cfg()
+    state, tx = init_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    tokens = np.zeros((cfg.num_classes, 16), np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, 1] = 49407
+
+    def data():
+        n = 0
+        while True:
+            n += 1
+            if n == 2:
+                # delivered synchronously to the deferring handler: must NOT
+                # abort this iteration, must surface at the next loop top
+                signal.raise_signal(signal.SIGINT)
+            yield (rng.rand(1, cfg.crop_size, cfg.crop_size, 3).astype(np.float32) * 255,
+                   rng.randint(0, cfg.num_classes, (1, cfg.crop_size, cfg.crop_size)).astype(np.int32))
+
+    import pytest as _pytest
+
+    prev = signal.getsignal(signal.SIGINT)
+    with _pytest.raises(KeyboardInterrupt):
+        train(state, tx, cfg, data(), tokens, num_steps=10, log_every=0,
+              output_dir=str(tmp_path), checkpoint_every=10**9)
+    assert latest_checkpoint(str(tmp_path)) is not None
+    assert signal.getsignal(signal.SIGINT) is prev  # handler restored

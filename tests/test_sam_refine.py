@@ -227,3 +227,42 @@ def _mini_sam_encoder_sd():
     from test_sam import _mini_sam_sd
 
     return _mini_sam_sd()
+
+
+def test_sam_refine_head_topk_scatter():
+    """refine_from="head" with T > pad_len: the aggregator's top-k also
+    bounds the SAM refinement (only kept classes are refined) and dropped
+    classes read -100 in both outputs — same convention as raw_corr."""
+    cfg = _cfg(pad_len=6, fusion=FusionConfig(
+        mode="sam_refine", encoder="mini_sam", encoder_resolution=32,
+        clip_resolution=128, refine_from="head", refine_chunk=4))
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    text = jnp.asarray(rng.randn(11, 1, 48).astype(np.float32))
+    coarse, refined = fusion.fusion_forward(params, imgs, text, cfg, with_coarse=True)
+    coarse, refined = np.asarray(coarse), np.asarray(refined)
+    assert coarse.shape[:2] == (1, 11) and refined.shape[:2] == (1, 11)
+    dropped_c = (coarse == -100.0).all(axis=(2, 3))
+    dropped_r = (refined == -100.0).all(axis=(2, 3))
+    assert dropped_c.sum() == dropped_r.sum() == 11 - 6
+    np.testing.assert_array_equal(dropped_c, dropped_r)
+
+
+def test_sam_refine_raw_corr_template_ensemble():
+    """P > 1 raw-corr proposals are the template-averaged correlation (the
+    reference's squeeze(1) only supports P=1); P=1 is unchanged."""
+    from catseg_tpu.core.aggregator import correlation
+    from catseg_tpu.core.catseg import clip_guidance_features, normalize_clip
+
+    cfg = _cfg()
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    text = jnp.asarray(rng.randn(5, 3, 48).astype(np.float32))  # P=3
+    coarse, _ = fusion.fusion_forward(params, imgs, text, cfg, with_coarse=True)
+    img_feats, _ = clip_guidance_features(params, normalize_clip(imgs), cfg)
+    want = correlation(img_feats, jnp.broadcast_to(
+        text[None], (1,) + text.shape).astype(jnp.dtype(cfg.compute_dtype)))
+    want = np.asarray(want.mean(axis=-1), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(coarse), want, atol=1e-5, rtol=1e-5)
