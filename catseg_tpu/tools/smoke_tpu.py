@@ -17,6 +17,7 @@ train (one batch-4 training step).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
 
 import numpy as np
@@ -138,7 +139,20 @@ def smoke_sam_refine():
     for _ in range(3):
         out = f(params, images, jnp.asarray(text, jnp.bfloat16))
     _sync(out)
-    return f"refined {tuple(out.shape)}  {((time.time() - t0) / 3 * 1000):.1f} ms/img"
+    ms = (time.time() - t0) / 3 * 1000
+
+    # head proposals + pad_len truncation: the aggregator's top-k bounds the
+    # SAM refinement (kept classes only, -100 scatter); shrink pad_len so
+    # the truncated path compiles/runs in smoke time
+    cfg2 = dataclasses.replace(
+        cfg, pad_len=32,
+        fusion=dataclasses.replace(cfg.fusion, refine_from="head"))
+    f2 = jax.jit(lambda p, im, tf: fusion.fusion_forward(p, im, tf, cfg2))
+    out2 = f2(params, images, jnp.asarray(text, jnp.bfloat16))
+    _sync(out2)
+    assert out2.shape[1] == T
+    return (f"refined {tuple(out.shape)}  {ms:.1f} ms/img; "
+            f"head+topk(pad_len=32) {tuple(out2.shape)} ok")
 
 
 def smoke_train():
