@@ -677,13 +677,13 @@ def init_aggregator_params(rng, cfg: CATSegConfig) -> dict:
     agg["layers"] = layers
 
     def _up_params(rng, cin, cout, guid):
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k1b, k2, k3 = jax.random.split(rng, 4)
         upc = cin - guid
         fan_in = cin  # torch ConvT fan_in is Cin * k * k / groups... uses Cin*k*k
         bound = (1.0 / (cin * 4)) ** 0.5
         return {
             "up_w": jax.random.uniform(k1, (cin, 2, 2, upc), minval=-bound, maxval=bound),
-            "up_b": jax.random.uniform(k1, (upc,), minval=-bound, maxval=bound),
+            "up_b": jax.random.uniform(k1b, (upc,), minval=-bound, maxval=bound),
             "conv1_w": _init_conv(k2, 3, 3, cin, cout, bias=False)["w"],
             "gn1": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
             "conv2_w": _init_conv(k3, 3, 3, cout, cout, bias=False)["w"],

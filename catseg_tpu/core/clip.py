@@ -175,7 +175,13 @@ def encode_image(
         x = jnp.concatenate([xp[:, :1], xp[:, 1 + L :]], axis=1)
         tapped_by_index[i] = x
 
-    bounds = sorted(set(t + 1 for t in taps if t + 1 > n_prompted)) + [n - 1]
+    # segment boundaries: one scan per gap between taps, always ending just
+    # before the final block (which runs separately, dense or standard).  A
+    # tap at the final layer is captured AFTER that block — same as the
+    # reference's forward hook on the last resblock, which sees the dense
+    # output when the dense trick is active.
+    pre = set(t + 1 for t in taps if t + 1 > n_prompted and t < n - 1)
+    bounds = sorted(pre | {n - 1})
     start = n_prompted
     for stop in bounds:
         if stop > start:
@@ -187,6 +193,8 @@ def encode_image(
         x = _dense_final_block(x, _layer(blocks, n - 1), act)
     else:
         x = _block(x, _layer(blocks, n - 1), variant.heads, None, act)
+    if (n - 1) in taps:
+        tapped_by_index[n - 1] = x
 
     x = layer_norm(x, p["ln_post"]["g"], p["ln_post"]["b"])
     if not dense:
@@ -317,7 +325,7 @@ def _stack_blocks(rng, n: int, width: int, mlp: int | None = None) -> dict:
 
 
 def init_clip_params(rng, variant: CLIPVariant) -> dict:
-    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
+    kv, kt, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 9)
     w = variant.width
     scale = w**-0.5
     visual = {
@@ -332,9 +340,9 @@ def init_clip_params(rng, variant: CLIPVariant) -> dict:
     tw = variant.text_width
     text = {
         "token_embedding": jax.random.normal(k5, (variant.vocab_size, tw)) * 0.02,
-        "positional_embedding": jax.random.normal(k5, (variant.context, tw)) * 0.01,
+        "positional_embedding": jax.random.normal(k6, (variant.context, tw)) * 0.01,
         "blocks": _stack_blocks(kt, variant.text_layers, tw),
         "ln_final": {"g": jnp.ones(tw), "b": jnp.zeros(tw)},
-        "text_projection": jax.random.normal(k5, (tw, variant.embed_dim)) * tw**-0.5,
+        "text_projection": jax.random.normal(k7, (tw, variant.embed_dim)) * tw**-0.5,
     }
     return {"visual": visual, "text": text, "logit_scale": jnp.zeros(())}

@@ -41,8 +41,7 @@ from .aggregator import (
     spatial_aggregation,
     topk_classes,
 )
-from .catseg import normalize_clip
-from .clip import encode_image
+from .catseg import clip_guidance_features, normalize_clip
 from .dino import DINO_VARIANTS, get_intermediate_layers, init_dino_params
 
 
@@ -68,26 +67,43 @@ def fusion_aggregator_forward(
     dino_guidance: tuple,
     cfg: CATSegConfig,
 ) -> jnp.ndarray:
-    """FusionAggregatorVer31.forward (FusionAggregatorVer31.py:199-273)."""
+    """FusionAggregatorVer31.forward (FusionAggregatorVer31.py:199-273).
+
+    ``dino_feats=None`` (config ``second_corr=False``) degenerates the cost
+    path to the base model's single-volume corr_embed — the fork's
+    fusion-point ablations toggle exactly this; ``dino_guidance=(None, None)``
+    (``dual_guidance=False``) drops the second decoder-guidance pyramid."""
     T = text_feats.shape[1]
     corr = correlation(img_feats, text_feats)
-    dino_corr = correlation(dino_feats, text_feats)
 
     classes = None
     if cfg.pad_len > 0 and T > cfg.pad_len:
         classes = topk_classes(corr, cfg.pad_len)
-        classes_dino = topk_classes(dino_corr, cfg.pad_len)
-        corr = gather_classes(corr, classes)
-        dino_corr = gather_classes(dino_corr, classes_dino)
-        text_feats = gather_classes(l2_normalize(text_feats, axis=-1), classes)
+        text_kept = gather_classes(l2_normalize(text_feats, axis=-1), classes)
+    else:
+        text_kept = text_feats
 
-    clip_embed = jax.nn.sigmoid(_corr_embed2(corr, agg["conv1"]).astype(jnp.float32)).astype(corr.dtype)
-    dino_embed = jax.nn.sigmoid(_corr_embed2(dino_corr, agg["conv2"]).astype(jnp.float32)).astype(corr.dtype)
-    fused = jnp.concatenate([clip_embed, dino_embed], axis=-1)
-    B, Tc, H, W, C2 = fused.shape
-    fused = conv2d(fused.reshape(B * Tc, H, W, C2), agg["fusion_corr"]["w"], agg["fusion_corr"]["b"], padding=3)
-    fused = jax.nn.sigmoid(fused.astype(jnp.float32)).astype(clip_embed.dtype).reshape(B, Tc, H, W, -1)
-    x = fused + clip_embed  # residual (FusionAggregatorVer31.py:237)
+    if dino_feats is None:
+        if classes is not None:
+            corr = gather_classes(corr, classes)
+        x = corr_embed(corr, agg)
+        text_feats = text_kept
+        B, Tc, H, W = x.shape[:4]
+    else:
+        dino_corr = correlation(dino_feats, text_feats)
+        if classes is not None:
+            classes_dino = topk_classes(dino_corr, cfg.pad_len)
+            corr = gather_classes(corr, classes)
+            dino_corr = gather_classes(dino_corr, classes_dino)
+        text_feats = text_kept
+
+        clip_embed = jax.nn.sigmoid(_corr_embed2(corr, agg["conv1"]).astype(jnp.float32)).astype(corr.dtype)
+        dino_embed = jax.nn.sigmoid(_corr_embed2(dino_corr, agg["conv2"]).astype(jnp.float32)).astype(corr.dtype)
+        fused = jnp.concatenate([clip_embed, dino_embed], axis=-1)
+        B, Tc, H, W, C2 = fused.shape
+        fused = conv2d(fused.reshape(B * Tc, H, W, C2), agg["fusion_corr"]["w"], agg["fusion_corr"]["b"], padding=3)
+        fused = jax.nn.sigmoid(fused.astype(jnp.float32)).astype(clip_embed.dtype).reshape(B, Tc, H, W, -1)
+        x = fused + clip_embed  # residual (FusionAggregatorVer31.py:237)
 
     proj_guid = None
     if "guidance_proj" in agg:
@@ -99,7 +115,7 @@ def fusion_aggregator_forward(
         for p, g in zip(agg["clip_decoder_guidance_proj"], appearance_guidance[1:])
     ]
     dino_dec = [
-        jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
+        None if g is None else jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
         for p, g in zip(agg["dino_decoder_guidance_proj"], dino_guidance)
     ]
     text_guid = None
@@ -155,32 +171,30 @@ def fusion_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray, c
     if dino_images is None:
         dino_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
 
-    tokens, taps = encode_image(
-        params["clip"], clip_images.astype(dtype), cfg.clip, dense=True,
-        taps=cfg.guidance_layers, compute_dtype=dtype,
-    )
+    res3, (_, res4, res5) = clip_guidance_features(params, clip_images, cfg)
     H, W = cfg.feature_resolution
-    B = tokens.shape[0]
-    res3 = tokens[:, 1:, :].reshape(B, H, W, -1)
-    res4 = conv_transpose2d_nonoverlap(
-        taps[0][:, 1:, :].reshape(B, H, W, -1), params["upsample1"]["w"], params["upsample1"]["b"], kernel=2
-    )
-    res5 = conv_transpose2d_nonoverlap(
-        taps[1][:, 1:, :].reshape(B, H, W, -1), params["upsample2"]["w"], params["upsample2"]["b"], kernel=4
-    )
+    B = res3.shape[0]
 
-    dvar = DINO_VARIANTS[fus.encoder]
-    dino_layers = get_intermediate_layers(params["dino"], dino_images.astype(dtype), dvar,
-                                          n=dvar.layers, compute_dtype=dtype)
-    g = fus.encoder_resolution // dvar.patch  # 48 for Ver31
-    down = g // H  # 2 for Ver31
-    dino_last = dino_layers[-1][:, 1:, :].reshape(B, g, g, -1)
-    dino_feats = conv2d(dino_last, params["dino_down"]["w"], params["dino_down"]["b"], stride=down)
-    gb = fus.guidance_blocks
-    dino_l4 = dino_layers[gb[0]][:, 1:, :].reshape(B, g, g, -1)
-    dino_l8 = dino_layers[gb[1]][:, 1:, :].reshape(B, g, g, -1)
-    dino_g1 = conv2d(dino_l4, params["dino_proj1"]["w"], params["dino_proj1"]["b"])  # (B,48,48,256)
-    dino_g2 = conv_transpose2d_nonoverlap(dino_l8, params["dino_proj2"]["w"], params["dino_proj2"]["b"], kernel=2)
+    # fusion-point ablation flags (the fork's VerXX sub-families toggle
+    # where the second encoder enters): the DINO forward is skipped
+    # entirely when neither fusion point is active
+    dino_feats = None
+    dino_g1 = dino_g2 = None
+    if fus.second_corr or fus.dual_guidance:
+        dvar = DINO_VARIANTS[fus.encoder]
+        dino_layers = get_intermediate_layers(params["dino"], dino_images.astype(dtype), dvar,
+                                              n=dvar.layers, compute_dtype=dtype)
+        g = fus.encoder_resolution // dvar.patch  # 48 for Ver31
+        down = g // H  # 2 for Ver31
+        if fus.second_corr:
+            dino_last = dino_layers[-1][:, 1:, :].reshape(B, g, g, -1)
+            dino_feats = conv2d(dino_last, params["dino_down"]["w"], params["dino_down"]["b"], stride=down)
+        if fus.dual_guidance:
+            gb = fus.guidance_blocks
+            dino_l4 = dino_layers[gb[0]][:, 1:, :].reshape(B, g, g, -1)
+            dino_l8 = dino_layers[gb[1]][:, 1:, :].reshape(B, g, g, -1)
+            dino_g1 = conv2d(dino_l4, params["dino_proj1"]["w"], params["dino_proj1"]["b"])  # (B,48,48,256)
+            dino_g2 = conv_transpose2d_nonoverlap(dino_l8, params["dino_proj2"]["w"], params["dino_proj2"]["b"], kernel=2)
 
     if text_feats.ndim == 3:
         text_feats = jnp.broadcast_to(text_feats[None], (B,) + text_feats.shape)
@@ -215,32 +229,39 @@ def sam_mask_refine(
     # F.interpolate's default NEAREST mode (implicit_fusion_Ver14.py:368)
     prompts = resize_nearest(
         coarse_logits.reshape(B * T, *coarse_logits.shape[2:])[..., None], (4 * gh, 4 * gw)
-    )  # (B*T, 4gh, 4gw, 1), B-major
-    feats = jnp.repeat(sam_feat, T, axis=0)  # aligned with the B-major flatten
+    ).reshape(B, T, 4 * gh, 4 * gw, 1)
     pe_grid = dense_pe(pe["gauss"], (gh, gw))
 
-    N = B * T
-    Np = -(-N // chunk) * chunk
-    if Np != N:
+    # scan over class chunks with the image axis kept: the SAM embedding is
+    # replicated only chunk-fold (a constant (B*cpi, gh, gw, 256) operand
+    # reused every step) instead of materializing a T-fold copy — at
+    # T=pad_len=256 and SAM ViT-B geometry that copy would be ~0.5 GB of HBM.
+    # cpi = classes per image per step, sized so each dispatch stays ~chunk
+    # mask-decoder instances regardless of batch size.
+    cpi = max(1, chunk // B)
+    Tp = -(-T // cpi) * cpi
+    if Tp != T:
         prompts = jnp.concatenate(
-            [prompts, jnp.zeros((Np - N,) + prompts.shape[1:], prompts.dtype)], axis=0)
-        feats = jnp.concatenate(
-            [feats, jnp.zeros((Np - N,) + feats.shape[1:], feats.dtype)], axis=0)
+            [prompts, jnp.zeros((B, Tp - T) + prompts.shape[2:], prompts.dtype)], axis=1)
+    steps = Tp // cpi
+    # (B, Tp, ...) -> (steps, B*cpi, ...): step s covers classes [s*cpi, (s+1)*cpi)
+    prompts = (prompts.reshape(B, steps, cpi, *prompts.shape[2:])
+               .transpose(1, 0, 2, 3, 4, 5)
+               .reshape(steps, B * cpi, *prompts.shape[2:]))
+    feats = jnp.repeat(sam_feat, cpi, axis=0)  # (B*cpi, gh, gw, 256), row b*cpi+c -> image b
 
-    def body(_, inp):
-        pr, ft = inp
+    def body(_, pr):
         dense = embed_masks(pe, pr)
         sparse = jnp.zeros((pr.shape[0], 0, dense.shape[-1]), dense.dtype)
-        masks, _ = mask_decoder(dec, ft, pe_grid, sparse, dense)
+        masks, _ = mask_decoder(dec, feats, pe_grid, sparse, dense)
         return None, masks[:, 0]
 
-    _, refined = jax.lax.scan(
-        body, None,
-        (prompts.reshape(Np // chunk, chunk, *prompts.shape[1:]),
-         feats.reshape(Np // chunk, chunk, *feats.shape[1:])),
-    )
-    refined = refined.reshape(Np, *refined.shape[2:])[:N]
-    return refined.reshape(B, T, *refined.shape[1:])
+    _, refined = jax.lax.scan(body, None, prompts)
+    # (steps, B*cpi, H', W') -> (B, Tp, H', W') -> strip class padding
+    refined = (refined.reshape(steps, B, cpi, *refined.shape[2:])
+               .transpose(1, 0, 2, 3, 4)
+               .reshape(B, Tp, *refined.shape[2:]))
+    return refined[:, :T]
 
 
 def _sam_refine_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarray,
@@ -269,13 +290,14 @@ def _sam_refine_forward(params: dict, images: jnp.ndarray, text_feats: jnp.ndarr
     fus = cfg.fusion
     dtype = jnp.dtype(cfg.compute_dtype)
     clip_images = images if normalized else normalize_clip(images)
-    if clip_images.shape[1:3] != (cfg.clip_resolution, cfg.clip_resolution):
-        clip_images = resize_bilinear(clip_images, (cfg.clip_resolution, cfg.clip_resolution))
+    # the fusion config's clip_resolution governs this family's CLIP input
+    # (implicit_fusion_Ver14.py:241 resizes to 384²), same as the Ver31 path
+    R = fus.clip_resolution
+    if clip_images.shape[1:3] != (R, R):
+        clip_images = resize_bilinear(clip_images, (R, R))
     sam_images = second_images
     if sam_images is None:
         sam_images = resize_bilinear(clip_images, (fus.encoder_resolution, fus.encoder_resolution))
-
-    from .catseg import clip_guidance_features
 
     img_feats, guidance = clip_guidance_features(params, clip_images, cfg)
     B = img_feats.shape[0]
@@ -347,12 +369,12 @@ def init_fusion_params(rng, cfg: CATSegConfig) -> dict:
     gp = cfg.decoder_guidance_proj_dims
 
     def _fusion_up_params(rng, cin, cout, guid):
-        kk1, kk2, kk3 = jax.random.split(rng, 3)
+        kk1, kk1b, kk2, kk3 = jax.random.split(rng, 4)
         upc = cin - guid
         bound = (1.0 / (cin * 4)) ** 0.5
         return {
             "up_w": jax.random.uniform(kk1, (cin, 2, 2, upc), minval=-bound, maxval=bound),
-            "up_b": jax.random.uniform(kk1, (upc,), minval=-bound, maxval=bound),
+            "up_b": jax.random.uniform(kk1b, (upc,), minval=-bound, maxval=bound),
             "conv1_w": _init_conv(kk2, 3, 3, cin + guid, cout, bias=False)["w"],
             "gn1": {"g": jnp.ones(cout), "b": jnp.zeros(cout)},
             "conv2_w": _init_conv(kk3, 3, 3, cout, cout, bias=False)["w"],

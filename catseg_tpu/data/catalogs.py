@@ -89,21 +89,25 @@ def dataset_root() -> str:
     return os.environ.get("DETECTRON2_DATASETS", "datasets")
 
 
-_CLASS_JSON_SEARCH = (
-    os.environ.get("CATSEG_CLASS_JSONS", ""),
-    "datasets",
-    "/root/reference/datasets",
-)
+def _class_json_search() -> tuple:
+    # read per call (not at import) so setting the env var after importing
+    # the package works, same as dataset_root/CATSEG_BPE_PATH
+    return (
+        os.environ.get("CATSEG_CLASS_JSONS", ""),
+        "datasets",
+        "/root/reference/datasets",
+    )
 
 
 def find_class_json(fname: str) -> str:
-    for base in _CLASS_JSON_SEARCH:
+    search = _class_json_search()
+    for base in search:
         if not base:
             continue
         path = os.path.join(base, fname)
         if os.path.exists(path):
             return path
-    raise FileNotFoundError(f"class json {fname!r} not found in {_CLASS_JSON_SEARCH}")
+    raise FileNotFoundError(f"class json {fname!r} not found in {search}")
 
 
 def load_class_names(fname_or_dataset: str) -> list[str]:

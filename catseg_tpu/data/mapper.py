@@ -121,6 +121,7 @@ def train_sample(
     color_aug: bool = True,
     ignore: int = 255,
     single_category_max_area: float = 1.0,
+    max_size: int = 1333,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One augmented (image (S,S,3) uint8, gt (S,S) int32/uint8) training pair.
 
@@ -130,8 +131,11 @@ def train_sample(
     over the tunnel's h2d path.  GT rides uint8 when the labels fit."""
     img = load_image(image_path)
     gt = load_gt(gt_path)
+    # detectron2 ResizeShortestEdge(MIN_SIZE_TRAIN, MAX_SIZE_TRAIN): CAT-Seg
+    # leaves MAX_SIZE_TRAIN at d2's default 1333, so panoramas rescale to the
+    # long-side cap (and the 384-crop then sees the capped image)
     short = int(rng.choice(min_size))
-    img = resize_shortest_edge(img, short, max_size=int(1e9))
+    img = resize_shortest_edge(img, short, max_size=max_size)
     gt = _resize_gt(gt, img.shape[:2])
     img, gt = random_crop_category_area(img, gt, crop_size, rng, ignore, single_category_max_area)
     if color_aug:

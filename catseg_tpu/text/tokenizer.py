@@ -31,9 +31,12 @@ except ImportError:  # pragma: no cover - regex is normally available
     import re as _re
 
     # ASCII approximation of the unicode-category classes; class names and
-    # prompt templates in this framework are ASCII.
+    # prompt templates in this framework are ASCII.  The punctuation class
+    # must include "_" (it is non-letter/non-digit in CLIP's \p{L}/\p{N}
+    # pattern but inside \w here), so runs of punct-or-underscore are matched
+    # by (?:[^\s\w]|_)+ to keep token ids identical to the regex-module path.
     _PAT = _re.compile(
-        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
         _re.IGNORECASE,
     )
 

@@ -160,11 +160,121 @@ def export_aggregator_state_dict(agg: dict) -> dict:
     return sd
 
 
+def export_sam_state_dict(sam: dict) -> dict:
+    """SAM image-encoder pytree -> Meta-SAM-named state dict (inverse of
+    sam.convert_sam_state_dict; keys without the 'image_encoder.' prefix)."""
+    sd = {
+        "patch_embed.proj.weight": _conv(sam["patch_w"]),
+        "patch_embed.proj.bias": _np(sam["patch_b"]),
+        "pos_embed": _np(sam["pos_embed"])[None],
+        "neck.0.weight": _conv(sam["neck_conv1_w"]),
+        "neck.2.weight": _conv(sam["neck_conv2_w"]),
+    }
+    _ln(sd, "neck.1", sam["neck_ln1"])
+    _ln(sd, "neck.3", sam["neck_ln2"])
+    for i, b in enumerate(sam["blocks"]):
+        p = f"blocks.{i}"
+        _ln(sd, p + ".norm1", b["ln_1"])
+        _ln(sd, p + ".norm2", b["ln_2"])
+        sd[p + ".attn.qkv.weight"] = _t(b["qkv_w"])
+        sd[p + ".attn.qkv.bias"] = _np(b["qkv_b"])
+        sd[p + ".attn.proj.weight"] = _t(b["proj_w"])
+        sd[p + ".attn.proj.bias"] = _np(b["proj_b"])
+        sd[p + ".attn.rel_pos_h"] = _np(b["rel_pos_h"])
+        sd[p + ".attn.rel_pos_w"] = _np(b["rel_pos_w"])
+        sd[p + ".mlp.lin1.weight"] = _t(b["fc1_w"])
+        sd[p + ".mlp.lin1.bias"] = _np(b["fc1_b"])
+        sd[p + ".mlp.lin2.weight"] = _t(b["fc2_w"])
+        sd[p + ".mlp.lin2.bias"] = _np(b["fc2_b"])
+    return sd
+
+
+def export_sam_prompt_decoder(pe: dict, dec: dict) -> dict:
+    """(prompt_encoder, mask_decoder) pytrees -> Meta-SAM-named state dict
+    ('prompt_encoder.' / 'mask_decoder.' prefixes; inverse of
+    sam_decoder.convert_sam_prompt_decoder)."""
+    sd = {}
+    p = "prompt_encoder."
+    sd[p + "pe_layer.positional_encoding_gaussian_matrix"] = _np(pe["gauss"])
+    for i in range(_np(pe["point_embeds"]).shape[0]):
+        sd[p + f"point_embeddings.{i}.weight"] = _np(pe["point_embeds"])[i][None]
+    sd[p + "not_a_point_embed.weight"] = _np(pe["not_a_point"])[None]
+    sd[p + "no_mask_embed.weight"] = _np(pe["no_mask"])[None]
+    sd[p + "mask_downscaling.0.weight"] = _conv(pe["mask_conv1_w"])
+    sd[p + "mask_downscaling.0.bias"] = _np(pe["mask_conv1_b"])
+    _ln(sd, p + "mask_downscaling.1", pe["mask_ln1"])
+    sd[p + "mask_downscaling.3.weight"] = _conv(pe["mask_conv2_w"])
+    sd[p + "mask_downscaling.3.bias"] = _np(pe["mask_conv2_b"])
+    _ln(sd, p + "mask_downscaling.4", pe["mask_ln2"])
+    sd[p + "mask_downscaling.6.weight"] = _conv(pe["mask_conv3_w"])
+    sd[p + "mask_downscaling.6.bias"] = _np(pe["mask_conv3_b"])
+
+    m = "mask_decoder."
+
+    def _attn(prefix, a):
+        for nm, key in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"), ("out_proj", "out")):
+            sd[f"{prefix}.{nm}.weight"] = _t(a[key + "_w"])
+            sd[f"{prefix}.{nm}.bias"] = _np(a[key + "_b"])
+
+    def _mlp(prefix, mlp):
+        for j, (w, b) in enumerate(zip(mlp["ws"], mlp["bs"])):
+            sd[f"{prefix}.layers.{j}.weight"] = _t(w)
+            sd[f"{prefix}.layers.{j}.bias"] = _np(b)
+
+    sd[m + "iou_token.weight"] = _np(dec["iou_token"])
+    sd[m + "mask_tokens.weight"] = _np(dec["mask_tokens"])
+    for i, layer in enumerate(dec["transformer"]["layers"]):
+        lp = m + f"transformer.layers.{i}"
+        _attn(lp + ".self_attn", layer["self_attn"])
+        _ln(sd, lp + ".norm1", layer["norm1"])
+        _attn(lp + ".cross_attn_token_to_image", layer["cross_t2i"])
+        _ln(sd, lp + ".norm2", layer["norm2"])
+        sd[lp + ".mlp.lin1.weight"] = _t(layer["fc1_w"])
+        sd[lp + ".mlp.lin1.bias"] = _np(layer["fc1_b"])
+        sd[lp + ".mlp.lin2.weight"] = _t(layer["fc2_w"])
+        sd[lp + ".mlp.lin2.bias"] = _np(layer["fc2_b"])
+        _ln(sd, lp + ".norm3", layer["norm3"])
+        _attn(lp + ".cross_attn_image_to_token", layer["cross_i2t"])
+        _ln(sd, lp + ".norm4", layer["norm4"])
+    _attn(m + "transformer.final_attn_token_to_image", dec["transformer"]["final_attn"])
+    _ln(sd, m + "transformer.norm_final_attn", dec["transformer"]["norm_final"])
+    sd[m + "output_upscaling.0.weight"] = _convt(dec["up1_w"])
+    sd[m + "output_upscaling.0.bias"] = _np(dec["up1_b"])
+    _ln(sd, m + "output_upscaling.1", dec["up_ln"])
+    sd[m + "output_upscaling.3.weight"] = _convt(dec["up2_w"])
+    sd[m + "output_upscaling.3.bias"] = _np(dec["up2_b"])
+    for i, mlp in enumerate(dec["hyper_mlps"]):
+        _mlp(m + f"output_hypernetworks_mlps.{i}", mlp)
+    _mlp(m + "iou_prediction_head", dec["iou_head"])
+    return sd
+
+
 def export_catseg_checkpoint(params: dict) -> dict:
     """CATSeg params pytree -> flat numpy state dict with the released
-    checkpoints' detectron2 key names (the exact inverse of
-    convert.convert_catseg_checkpoint)."""
+    checkpoints' detectron2 key names (the inverse of
+    convert.convert_catseg_checkpoint).
+
+    Ver14 sam_refine pytrees export their SAM modules under the meta-arch
+    prefixes convert_catseg_checkpoint reads back (sam_encoder. /
+    sam_prompt_encoder. / sam_decoder., implicit_fusion_Ver14.py:123-125).
+    The Ver31 DINO modules have no reference checkpoint format to target
+    (no released Ver31 weights) — refuse rather than silently drop them."""
+    unsupported = sorted(k for k in params
+                         if k in ("dino", "dino_down", "dino_proj1", "dino_proj2"))
+    if unsupported:
+        raise NotImplementedError(
+            "export_catseg_checkpoint: the Ver31 DINO fusion modules have no "
+            f"reference checkpoint key layout to export to: {unsupported}")
     sd = {}
+    if "sam" in params:
+        for k, v in export_sam_state_dict(params["sam"]).items():
+            sd["sam_encoder." + k] = v
+    if "sam_pe" in params or "sam_dec" in params:
+        for k, v in export_sam_prompt_decoder(params["sam_pe"], params["sam_dec"]).items():
+            if k.startswith("prompt_encoder."):
+                sd["sam_prompt_encoder." + k[len("prompt_encoder."):]] = v
+            else:
+                sd["sam_decoder." + k[len("mask_decoder."):]] = v
     for k, v in export_clip_state_dict(params["clip"]).items():
         sd["sem_seg_head.predictor.clip_model." + k] = v
     for k, v in export_aggregator_state_dict(params["agg"]).items():

@@ -172,3 +172,21 @@ def test_truncated_context_exact(params):
     full = np.asarray(jclip.encode_text(params, jnp.asarray(tokens), VARIANT))
     trunc = np.asarray(jclip.encode_text(params, jnp.asarray(short), VARIANT))
     np.testing.assert_allclose(trunc, full, atol=1e-5, rtol=1e-5)
+
+
+def test_tap_at_final_layer(params):
+    """A tap at the last block must not re-run that block or clobber other
+    taps: tapped[i] for i < n-1 is identical whether or not n-1 is also
+    tapped, and the final-layer tap equals the dense-final block output
+    (= what the reference's forward hook on the last resblock captures)."""
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    n = VARIANT.layers
+
+    _, tapped_a = jclip.encode_image(params, imgs, VARIANT, dense=True, taps=(1,))
+    _, tapped_b = jclip.encode_image(params, imgs, VARIANT, dense=True, taps=(1, n - 1))
+    np.testing.assert_array_equal(np.asarray(tapped_a[0]), np.asarray(tapped_b[0]))
+    assert tapped_b[1].shape == tapped_b[0].shape
+    # the final tap differs from the penultimate output (the block did run)
+    _, tapped_pen = jclip.encode_image(params, imgs, VARIANT, dense=True, taps=(n - 2,))
+    assert not np.allclose(np.asarray(tapped_b[1]), np.asarray(tapped_pen[0]))

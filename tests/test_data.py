@@ -141,3 +141,37 @@ def test_bench_natural_image_statistics():
     assert 1.3 < ratio < 1.8, ratio
     img2 = natural_image(np.random.RandomState(0), 320, 427)
     np.testing.assert_array_equal(img, img2)
+
+
+def test_train_sample_long_side_cap(tmp_path):
+    """ResizeShortestEdge honors MAX_SIZE_TRAIN=1333 (detectron2 default the
+    reference configs keep): a panorama rescales to the long-side cap before
+    cropping, instead of keeping a 384-short-edge giant."""
+    from PIL import Image
+
+    from catseg_tpu.data.loader import resize_shortest_edge
+
+    img = np.zeros((122, 640, 3), np.uint8)
+    out = resize_shortest_edge(img, 384, max_size=1333)
+    assert max(out.shape[:2]) <= 1333
+    # d2 arithmetic: scale 384/122 -> (384, 2014), then cap 1333/2014
+    assert out.shape[:2] == (254, 1333)
+
+    # and train_sample wires the cap through (the old int(1e9) did not)
+    import inspect
+
+    from catseg_tpu.data.mapper import train_sample
+
+    assert inspect.signature(train_sample).parameters["max_size"].default == 1333
+
+
+def test_export_refuses_dino_modules():
+    """export_catseg_checkpoint must fail loudly on Ver31 DINO pytrees (no
+    reference checkpoint layout exists) instead of silently dropping modules
+    (a reference-side load would sit at random init with no error)."""
+    import pytest
+
+    from catseg_tpu.weights.export import export_catseg_checkpoint
+
+    with pytest.raises(NotImplementedError, match="dino"):
+        export_catseg_checkpoint({"clip": {}, "agg": {}, "dino": {}, "dino_down": {}})

@@ -201,3 +201,43 @@ def test_fusion_whole_image_canvas_no_bottleneck():
         fusion.fusion_forward(params, clip_in, text, cfg, normalized=True)[0].astype(jnp.float32)
     ).transpose(1, 2, 0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fusion_point_ablation_flags():
+    """second_corr / dual_guidance gate where the second encoder enters
+    (the fork's VerXX fusion-point ablations): with a flag off, the DINO
+    modules behind it stop affecting the output; with both off, DINO is not
+    run at all (zeroing its weights changes nothing)."""
+    import jax.tree_util as jtu
+
+    from catseg_tpu.core import fusion
+    from catseg_tpu.configs import FusionConfig
+    from test_catseg_model import mini_cfg
+
+    DINO_VARIANTS["mini_dino"] = MINI
+    base = dict(encoder="mini_dino", encoder_resolution=128, clip_resolution=128,
+                guidance_blocks=(0, 1))
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    text = jnp.asarray(rng.randn(7, 1, 48).astype(np.float32))
+
+    def run(params, **flags):
+        cfg = mini_cfg(fusion=FusionConfig(**base, **flags), text_guidance_dim=0)
+        return np.asarray(fusion.fusion_forward(params, imgs, text, cfg))
+
+    cfg_full = mini_cfg(fusion=FusionConfig(**base), text_guidance_dim=0)
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg_full)
+    zeroed = dict(params)
+    zeroed["dino"] = jtu.tree_map(jnp.zeros_like, params["dino"])
+
+    full = run(params)
+    no_corr = run(params, second_corr=False)
+    no_guid = run(params, dual_guidance=False)
+    neither = run(params, second_corr=False, dual_guidance=False)
+    assert not np.allclose(full, no_corr)
+    assert not np.allclose(full, no_guid)
+    # both off -> DINO weights are irrelevant (encoder never runs)
+    np.testing.assert_array_equal(
+        neither, run(zeroed, second_corr=False, dual_guidance=False))
+    # corr-only ablation: DINO still matters through the cost volume
+    assert not np.allclose(no_guid, run(zeroed, dual_guidance=False))

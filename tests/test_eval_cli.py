@@ -53,7 +53,7 @@ def synth_dataset(tmp_path, monkeypatch):
     spec = DatasetSpec("mini_synth", "imgs", "gts", "mini_classes.json",
                        len(names), 255)
     monkeypatch.setitem(catalogs.DATASETS, "mini_synth", spec)
-    monkeypatch.setattr(catalogs, "_CLASS_JSON_SEARCH", (str(tmp_path),))
+    monkeypatch.setattr(catalogs, "_class_json_search", lambda: (str(tmp_path),))
     monkeypatch.setitem(tools_common.PRESETS, "mini", _mini_eval_preset)
     return tmp_path
 

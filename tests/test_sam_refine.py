@@ -266,3 +266,47 @@ def test_sam_refine_raw_corr_template_ensemble():
         text[None], (1,) + text.shape).astype(jnp.dtype(cfg.compute_dtype)))
     want = np.asarray(want.mean(axis=-1), dtype=np.float32)
     np.testing.assert_allclose(np.asarray(coarse), want, atol=1e-5, rtol=1e-5)
+
+
+def test_sam_refine_fusion_clip_resolution_wins():
+    """The fusion config's clip_resolution governs the CLIP input in
+    sam_refine mode (implicit_fusion_Ver14.py:241), independent of the
+    top-level clip_resolution (which another family may have set)."""
+    cfg_base = _cfg()
+    params = fusion.init_fusion_params(jax.random.PRNGKey(0), cfg_base)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (1, 128, 128, 3)).astype(np.float32))
+    text = jnp.asarray(rng.randn(5, 1, 48).astype(np.float32))
+    want = np.asarray(fusion.fusion_forward(params, imgs, text, cfg_base))
+    # a mismatched top-level clip_resolution must not change the CLIP input
+    # (the old behavior resized to 96 -> grid 6, crashing the 8x8 reshape)
+    cfg_mix = mini_cfg(clip_resolution=96, fusion=cfg_base.fusion)
+    got = np.asarray(fusion.fusion_forward(params, imgs, text, cfg_mix))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sam_refine_export_convert_roundtrip():
+    """A full Ver14 pytree exports to the meta-arch key names and converts
+    back bit-identically (sam/sam_pe/sam_dec included) — the exporter is a
+    true inverse for the SAM family, not just the base model."""
+    import jax.tree_util as jtu
+
+    from catseg_tpu.weights.convert import convert_catseg_checkpoint
+    from catseg_tpu.weights.export import export_catseg_checkpoint
+
+    cfg = _cfg()
+    params = fusion.init_fusion_params(jax.random.PRNGKey(2), cfg)
+    sd = export_catseg_checkpoint(params)
+    assert any(k.startswith("sam_encoder.") for k in sd)
+    assert any(k.startswith("sam_prompt_encoder.") for k in sd)
+    assert any(k.startswith("sam_decoder.") for k in sd)
+    back = convert_catseg_checkpoint(sd, num_layers=cfg.num_layers)
+    for sub in ("sam", "sam_pe", "sam_dec"):
+        want_leaves = jtu.tree_leaves_with_path(params[sub])
+        got = back[sub]
+        got_flat = dict(jtu.tree_leaves_with_path(got))
+        assert len(got_flat) == len(want_leaves)
+        for path, leaf in want_leaves:
+            np.testing.assert_array_equal(
+                np.asarray(leaf, dtype=np.float32), np.asarray(got_flat[path]),
+                err_msg=str(path))

@@ -69,3 +69,21 @@ def test_known_token_ids():
     assert bpe.sot == 49406 and bpe.eot == 49407
     assert bpe.encode("a") == [320]
     assert bpe.encode("a photo of a cat.") == [320, 1125, 539, 320, 2368, 269]
+
+
+def test_ascii_fallback_pattern_matches_regex_module():
+    """The plain-re fallback must tokenize underscores as punctuation like
+    CLIP's \\p{L}/\\p{N} pattern does (underscore is in \\w but not \\p{L})."""
+    import re
+
+    import regex
+
+    real = regex.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        regex.IGNORECASE)
+    fall = re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+        re.IGNORECASE)
+    for s in ["mobile_home", "a_b-c", "__x__", "hello, world's 42nd thing!",
+              "a.b_c-d", "_", "_-_", "snake_case_name 3_4"]:
+        assert real.findall(s) == fall.findall(s), s
