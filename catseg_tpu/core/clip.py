@@ -228,7 +228,10 @@ def encode_image_attn_maps(
 
     maps = {}
     heads = variant.heads
-    for i in range(variant.layers - 1):
+    # all layers run the standard softmax block here (this debug path mirrors
+    # the reference's hooks on a CLS forward, where the final block DOES have
+    # softmax attention — the v-only dense trick has none to visualize)
+    for i in range(variant.layers):
         bp = _layer(p["blocks"], i)
         y = layer_norm(x, bp["ln_1"]["g"], bp["ln_1"]["b"])
         T = y.shape[1]

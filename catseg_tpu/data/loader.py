@@ -87,11 +87,10 @@ def load_gt(path: str) -> np.ndarray:
     return arr.astype(np.int32)
 
 
-def resize_shortest_edge(
-    img: np.ndarray, short: int = 640, max_size: int = 2560, interp=Image.BILINEAR
-) -> np.ndarray:
-    """detectron2 ResizeShortestEdge (uint8 path goes through PIL, as there)."""
-    h, w = img.shape[:2]
+def shortest_edge_size(h: int, w: int, short: int, max_size: int) -> tuple[int, int]:
+    """detectron2 ResizeShortestEdge target (nh, nw) — the single source of
+    this rounding, shared by the actual resize and canvas sizing (a one-pixel
+    drift between them would break the eval canvas fill)."""
     scale = short / min(h, w)
     if h < w:
         newh, neww = short, scale * w
@@ -100,7 +99,15 @@ def resize_shortest_edge(
     if max(newh, neww) > max_size:
         s2 = max_size / max(newh, neww)
         newh, neww = newh * s2, neww * s2
-    newh, neww = int(newh + 0.5), int(neww + 0.5)
+    return int(newh + 0.5), int(neww + 0.5)
+
+
+def resize_shortest_edge(
+    img: np.ndarray, short: int = 640, max_size: int = 2560, interp=Image.BILINEAR
+) -> np.ndarray:
+    """detectron2 ResizeShortestEdge (uint8 path goes through PIL, as there)."""
+    h, w = img.shape[:2]
+    newh, neww = shortest_edge_size(h, w, short, max_size)
     if (newh, neww) == (h, w):
         return img
     pil = Image.fromarray(img)

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from ..configs import CATSegConfig, eval_preset
 from ..data.catalogs import get_dataset, load_class_names
-from ..data.loader import Prefetcher, list_dataset, load_gt, load_image, resize_shortest_edge
+from ..data.loader import (
+    Prefetcher, list_dataset, load_gt, load_image, resize_shortest_edge, shortest_edge_size)
 from ..infer.pipeline import Predictor, resize_argmax_dynamic
 from .miou import ConfusionAccumulator, gt_upload_dtype
 
@@ -162,13 +163,9 @@ def evaluate_benchmark(
     Hc, Wc = _canvas(sizes)
 
     def _resized(hw):
-        h, w = hw
-        s = cfg.min_size_test / min(h, w)
-        nh, nw = (cfg.min_size_test, s * w) if h < w else (s * h, cfg.min_size_test)
-        if max(nh, nw) > cfg.max_size_test:
-            s2 = cfg.max_size_test / max(nh, nw)
-            nh, nw = nh * s2, nw * s2
-        return int(nh + 0.5), int(nw + 0.5)
+        # same rounding as the actual resize (loader.shortest_edge_size) —
+        # a one-pixel drift would break the canvas fill mid-benchmark
+        return shortest_edge_size(hw[0], hw[1], cfg.min_size_test, cfg.max_size_test)
 
     in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
 

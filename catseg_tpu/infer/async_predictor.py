@@ -17,6 +17,13 @@ import numpy as np
 from .pipeline import Predictor
 
 
+class _WorkerError:
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class AsyncPredictor:
     def __init__(self, predictor: Predictor, depth: int = 4):
         self.predictor = predictor
@@ -32,8 +39,16 @@ class AsyncPredictor:
             idx, image = self._tasks.get()
             if image is None:
                 break
-            # enqueue the device program; the result is an async device array
-            probs = self.predictor.probs_sliding(image)
+            # enqueue the device program; the result is an async device array.
+            # Worker exceptions (odd input, transient device error) are
+            # forwarded to the consumer instead of silently killing the
+            # thread, which would leave get() blocked forever (same pattern
+            # as data.loader.Prefetcher).
+            try:
+                probs = self.predictor.probs_sliding(image)
+            except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+                self._results.put((idx, _WorkerError(e)))
+                return
             self._results.put((idx, probs))
 
     def put(self, image: np.ndarray) -> int:
@@ -45,7 +60,10 @@ class AsyncPredictor:
     def get(self):
         """(index, (640,640,T) device probs) in submission order not guaranteed."""
         self._n_collected += 1
-        return self._results.get()
+        idx, item = self._results.get()
+        if isinstance(item, _WorkerError):
+            raise item.exc
+        return idx, item
 
     def __len__(self):
         return self._n_submitted - self._n_collected

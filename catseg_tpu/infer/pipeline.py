@@ -414,9 +414,11 @@ class Predictor:
         return self.probs_sliding(image) if self.cfg.sliding_window else self.probs_whole(image)
 
     def predict(self, image: np.ndarray, out_hw: tuple[int, int] | None = None) -> dict:
-        """Full-resolution class probabilities for one image (demo path)."""
+        """Full-resolution class probabilities for one image (demo path).
+        The inference branch follows cfg.sliding_window, like the reference
+        meta-arch (cat_seg_model.py:147-176)."""
         H, W = out_hw or image.shape[:2]
-        probs = self.probs_sliding(image)
+        probs = self.probs(image)
         h, w = probs.shape[:2]
         wh = jnp.asarray(_linear_weights(h, H, False).astype(np.float32))
         ww = jnp.asarray(_linear_weights(w, W, False).astype(np.float32))
@@ -430,6 +432,6 @@ class Predictor:
         """Argmax map at the original size via the static-canvas device path."""
         H, W = out_hw or image.shape[:2]
         cH, cW = canvas or (H, W)
-        probs = self.probs_sliding(image)
+        probs = self.probs(image)
         pred = resize_argmax_dynamic(probs, jnp.asarray([H, W], np.int32), (cH, cW))
         return np.asarray(pred)[:H, :W]

@@ -88,11 +88,21 @@ class SamPredictor:
         self.input_size = None
 
     def set_image(self, image: np.ndarray) -> None:
-        """image: (H, W, 3) uint8 RGB."""
+        """image: (H, W, 3) uint8 RGB.
+
+        The longest-side resize runs on host through PIL: the reference's
+        ResizeLongestSide.apply_image is torchvision resize on a PIL image
+        (utils/transforms.py:30-34), i.e. ANTIALIASED bilinear — an
+        F.interpolate-style resize diverges on downscale (the transform
+        module's own comment warns apply_image_torch 'may not exactly
+        match apply_image')."""
+        from PIL import Image
+
         h, w = image.shape[:2]
         nh, nw = resize_longest_side(h, w, self.variant.img_size)
-        x = jnp.asarray(image, jnp.float32)[None]
-        x = resize_bilinear(x, (nh, nw))
+        pil = Image.fromarray(np.asarray(image, np.uint8))
+        resized = np.asarray(pil.resize((nw, nh), Image.BILINEAR), np.float32)
+        x = jnp.asarray(resized)[None]
         x = (x - jnp.asarray(PIXEL_MEAN)) / jnp.asarray(PIXEL_STD)
         canvas = jnp.zeros((1, self.variant.img_size, self.variant.img_size, 3), jnp.float32)
         canvas = canvas.at[:, :nh, :nw].set(x)

@@ -24,8 +24,11 @@ def _linear_weights(in_size: int, out_size: int, align_corners: bool) -> np.ndar
     """(out_size, in_size) row-stochastic bilinear interpolation matrix."""
     if in_size == out_size:
         return np.eye(out_size, dtype=np.float64)
-    if out_size == 1:
-        # torch maps the single output pixel to source coord 0 in both modes.
+    if out_size == 1 and align_corners:
+        # align_corners=True divides by (out-1): torch resolves the single
+        # output pixel to source coord 0.  align_corners=False needs no
+        # special case — the center-sampling formula below gives the torch
+        # result (the source CENTER, e.g. 6.5 for an 8-pixel ramp 3..10).
         w = np.zeros((1, in_size))
         w[0, 0] = 1.0
         return w

@@ -41,12 +41,21 @@ def main(argv=None):
     ap.add_argument("--eval-dataset", default=None, help="periodic eval (TEST.EVAL_PERIOD)")
     ap.add_argument("--eval-limit", type=int, default=200)
     ap.add_argument("--eval-every", type=int, default=5000)
+    ap.add_argument("--auto-scale", action="store_true",
+                    help="scale batch with device count and LR/iters inversely "
+                         "(detectron2 auto_scale_workers, plain_train_net.py:279)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args(argv)
     apply_device(args)
     probe_device()
 
     cfg = resolve_config(args.config, args.overrides)
+    if args.auto_scale and len(jax.devices()) > 1:
+        from ..train.optim import auto_scale_config
+
+        cfg = auto_scale_config(cfg, len(jax.devices()))
+        print(f"auto-scaled: batch {cfg.batch_size}, lr {cfg.base_lr:.2e}, "
+              f"max_iter {cfg.max_iter}")
     os.makedirs(args.output, exist_ok=True)
 
     params = load_params(args.checkpoint, cfg, seed=args.seed)

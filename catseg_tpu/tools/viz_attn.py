@@ -52,6 +52,10 @@ def main(argv=None):
     params = load_params(args.checkpoint, cfg)
     layers = tuple(int(x) for x in args.layers.split(","))
 
+    bad = [l for l in layers if not 0 <= l < cfg.clip.layers]
+    if bad:
+        raise SystemExit(
+            f"--layers {bad} out of range for {cfg.clip.name} (0..{cfg.clip.layers - 1})")
     img = load_image(args.input)
     R = cfg.clip_resolution
     x = normalize_clip(jnp.asarray(img.astype(np.float32))[None])

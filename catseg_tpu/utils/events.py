@@ -25,8 +25,18 @@ class EventWriter:
 
     def write(self, step: int, **scalars) -> None:
         rec = {"iteration": step, "time": round(time.time() - self._t0, 3)}
-        rec.update({k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
-                    for k, v in scalars.items()})
+        for k, v in scalars.items():
+            # scalars only: eval_fn dicts can carry per-class ndarrays
+            # ('IoU'/'ACC') or a confusion matrix — float() on those raises,
+            # which must not abort a multi-hour run at a periodic eval
+            if isinstance(v, (int, float)):
+                rec[k] = float(v)
+            elif hasattr(v, "item"):
+                if getattr(v, "size", 1) == 1:
+                    rec[k] = float(v)
+                # else: non-scalar array — skip, not crash
+            elif not hasattr(v, "shape"):
+                rec[k] = v
         line = "  ".join(f"{k}: {v:.6g}" if isinstance(v, float) else f"{k}: {v}" for k, v in rec.items())
         print(line)
         if self._log_f:

@@ -373,3 +373,73 @@ def test_train_signal_deferred_checkpoint(tmp_path):
               output_dir=str(tmp_path), checkpoint_every=10**9)
     assert latest_checkpoint(str(tmp_path)) is not None
     assert signal.getsignal(signal.SIGINT) is prev  # handler restored
+
+
+def test_async_predictor_forwards_worker_exception():
+    """A worker exception surfaces in get() instead of hanging the consumer."""
+    import pytest as _pytest
+
+    from catseg_tpu.infer.async_predictor import AsyncPredictor
+
+    class Boom:
+        def probs_sliding(self, image):
+            raise ValueError("corrupt input")
+
+    ap = AsyncPredictor.__new__(AsyncPredictor)
+    import queue as _q
+    import threading as _th
+
+    ap.predictor = Boom()
+    ap._tasks = _q.Queue(maxsize=2)
+    ap._results = _q.Queue()
+    ap._n_submitted = ap._n_collected = 0
+    ap._thread = _th.Thread(target=ap._work, daemon=True)
+    ap._thread.start()
+    ap.put(np.zeros((8, 8, 3), np.uint8))
+    with _pytest.raises(ValueError, match="corrupt"):
+        ap.get()
+
+
+def test_event_writer_skips_nonscalars(tmp_path):
+    """eval_fn dicts with per-class ndarrays must not crash the writer."""
+    import json as _json
+
+    from catseg_tpu.utils.events import EventWriter
+
+    w = EventWriter(str(tmp_path))
+    w.write(1, loss=0.5, IoU=np.arange(3.0), pACC=np.float64(7.5),
+            scalar_arr=np.asarray(2.0), note="ok")
+    w.close()
+    rec = _json.loads(open(tmp_path / "metrics.json").read().splitlines()[-1])
+    assert rec["loss"] == 0.5 and rec["pACC"] == 7.5 and rec["scalar_arr"] == 2.0
+    assert "IoU" not in rec and rec["note"] == "ok"
+
+
+def test_predict_routes_whole_image_branch():
+    """predict()/predict_argmax() follow cfg.sliding_window like the
+    reference meta-arch, not hardcode the sliding branch."""
+    from catseg_tpu.infer.pipeline import Predictor
+
+    cfg = mini_cfg(sliding_window=False)
+    from catseg_tpu.core import catseg as _catseg
+
+    params = _catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    text = rng.randn(7, 1, 48).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    pred = Predictor(params, cfg, [f"c{i}" for i in range(7)], text_feats=text)
+    img = rng.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+    whole = np.asarray(pred.probs_whole(img))
+    sliding = np.asarray(pred.probs_sliding(img))
+    assert whole.shape != sliding.shape or not np.allclose(whole, sliding)
+    out = pred.predict_argmax(img)
+    want = pred_argmax_from(whole, img.shape[:2])
+    np.testing.assert_array_equal(out, want)
+
+
+def pred_argmax_from(probs, hw):
+    from catseg_tpu.infer.pipeline import resize_argmax_dynamic
+
+    H, W = hw
+    return np.asarray(resize_argmax_dynamic(
+        jnp.asarray(probs), jnp.asarray([H, W], np.int32), (H, W)))[:H, :W]

@@ -144,3 +144,19 @@ def test_unfold_fold_matches_torch():
                    kernel_size=kernel, stride=stride).squeeze().numpy()
     div_j = ops.fold_divisor((640, 640), kernel, stride)[:, :, 0]
     np.testing.assert_array_equal(div_j, div_t)
+
+
+def test_resize_to_single_pixel_matches_torch():
+    """out_size=1: align_corners=False samples the source CENTER (torch's
+    center-sampling formula), only align_corners=True collapses to coord 0."""
+    import torch
+    import torch.nn.functional as F
+
+    from catseg_tpu.ops.resize import _linear_weights
+
+    for n in (3, 5, 8):
+        x = torch.arange(float(n))[None, None, :, None]
+        for ac in (False, True):
+            want = F.interpolate(x, size=(1, 1), mode="bilinear", align_corners=ac)
+            got = _linear_weights(n, 1, ac) @ np.arange(float(n))
+            np.testing.assert_allclose(got, want.reshape(1).numpy(), atol=1e-6)

@@ -146,3 +146,23 @@ def test_global_norm_clip_excludes_frozen_grads():
     q_a = np.asarray(upd_small["clip"]["visual"]["blocks"]["q_w"])
     q_b = np.asarray(upd_big["clip"]["visual"]["blocks"]["q_w"])
     np.testing.assert_allclose(q_a, q_b, rtol=1e-6)
+
+
+def test_auto_scale_config_arithmetic():
+    """detectron2 auto_scale_workers semantics: batch x N, LR x N, iters / N
+    (plain_train_net.py:279) — and it is reachable from the train CLI."""
+    import argparse
+
+    from catseg_tpu.configs import vitb384
+    from catseg_tpu.tools import train as train_cli
+    from catseg_tpu.train.optim import auto_scale_config
+
+    cfg = vitb384()
+    scaled = auto_scale_config(cfg, 8)
+    assert scaled.batch_size == cfg.batch_size * 8
+    assert abs(scaled.base_lr - cfg.base_lr * 8) < 1e-12
+    assert scaled.max_iter == int(round(cfg.max_iter / 8))
+
+    # the CLI exposes it
+    src = open(train_cli.__file__).read()
+    assert "--auto-scale" in src and "auto_scale_config" in src
