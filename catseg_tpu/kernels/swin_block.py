@@ -46,6 +46,7 @@ steps (pl.when(first) init + add).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -356,13 +357,16 @@ def _flat_params(p, dtype):
     return out
 
 
-# class slabs per grid step (tuning hook; see comment at the use site)
-_G_OVERRIDE = 2
+# class slabs per grid step (tuning hook; see comment at the use site).
+# Env-overridable so an on-chip sweep is one process per value — pjit
+# caches on function identity, so in-process sweeps silently reuse the
+# first executable (see dev notes).
+_G_OVERRIDE = int(os.environ.get("CATSEG_SWIN_G", "2"))
 # scoped-VMEM ceiling for the kernel (the 16 MB default is conservative)
-_VMEM_LIMIT = 32 * 1024 * 1024
+_VMEM_LIMIT = int(os.environ.get("CATSEG_SWIN_VMEM_MB", "32")) * 1024 * 1024
 # class slabs per backward grid step (the backward holds ~3x the forward's
 # live tensors, so it runs narrower)
-_BWD_G = 1
+_BWD_G = int(os.environ.get("CATSEG_SWIN_BWD_G", "1"))
 
 
 def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
@@ -652,8 +656,6 @@ def fused_swin_pair(x, guid4, p1, p2, mask, heads: int, win: int):
     fc1_w/b, fc2_w/b; mask: (nW, N, N) fp32 additive mask for the shifted
     block.  Requires H, W divisible by win and C a multiple of 128.
     """
-    import os
-
     if os.environ.get("CATSEG_NO_PALLAS_SWIN"):  # debug/rollback escape hatch
         return _reference_pair(x, guid4, p1, p2, mask, heads, win)
     backend = jax.default_backend()
