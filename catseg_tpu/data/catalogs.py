@@ -25,6 +25,11 @@ class DatasetSpec:
     image_ext: str = "jpg"
     gt_ext: str = "png"
     evaluator: str = "sem_seg"  # or "sem_seg_background" (VOCb clamp rule)
+    # idmaps/ file whose dataset_id -> contiguous mapping the reference also
+    # registers as stuff_dataset_id_to_contiguous_id metadata; the COCO-format
+    # prediction dump inverts it (plain_train_net.py:210-216).  None = the
+    # dataset's ids are already contiguous (identity dump).
+    idmap_json: str | None = None
 
 
 # (reference registration file:line follow each entry)
@@ -33,16 +38,18 @@ DATASETS: dict[str, DatasetSpec] = {
     for s in [
         # register_coco_stuff.py:195-211
         DatasetSpec("coco_2017_train_stuff_all_sem_seg", "coco-stuff/images/train2017",
-                    "coco-stuff/annotations_detectron2/train2017", "coco.json", 171, 255),
+                    "coco-stuff/annotations_detectron2/train2017", "coco.json", 171, 255,
+                    idmap_json="coco_stuff_171.json"),  # register_coco_stuff.py:185
         DatasetSpec("coco_2017_test_stuff_all_sem_seg", "coco-stuff/images/val2017",
-                    "coco-stuff/annotations_detectron2/val2017", "coco.json", 171, 255),
+                    "coco-stuff/annotations_detectron2/val2017", "coco.json", 171, 255,
+                    idmap_json="coco_stuff_171.json"),
         # register_ade20k_150.py:16-28
         DatasetSpec("ade20k_150_test_sem_seg", "ADEChallengeData2016/images/validation",
                     "ADEChallengeData2016/annotations_detectron2/validation", "ade150.json", 150, 255),
         # register_ade20k_847.py:28-46 (16-bit TIFF GT)
         DatasetSpec("ade20k_full_sem_seg_freq_val_all", "ADE20K_2021_17_01/images_detectron2/validation",
                     "ADE20K_2021_17_01/annotations_detectron2/validation", "ade847.json", 847, 65535,
-                    gt_ext="tif"),
+                    gt_ext="tif", idmap_json="ade847.json"),  # register_ade20k_847.py:16-20
         # register_pascal_context.py:45-75
         DatasetSpec("context_59_test_sem_seg", "VOCdevkit/VOC2010/JPEGImages",
                     "VOCdevkit/VOC2010/annotations_detectron2/pc59_val", "pc59.json", 59, 255),

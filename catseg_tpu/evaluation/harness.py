@@ -167,7 +167,16 @@ def evaluate_benchmark(
         # a one-pixel drift would break the canvas fill mid-benchmark
         return shortest_edge_size(hw[0], hw[1], cfg.min_size_test, cfg.max_size_test)
 
-    in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
+    if tta:
+        # the TTA wrapper rescales originals to each DatasetMapperTTA scale;
+        # the static input canvas must cover the LARGEST scale's extent
+        from ..infer.tta import D2_TTA_MAX_SIZE, D2_TTA_MIN_SIZES
+
+        tta_sizes = [shortest_edge_size(h, w, s, D2_TTA_MAX_SIZE)
+                     for (h, w) in sizes for s in D2_TTA_MIN_SIZES]
+        in_canvas = _canvas(tta_sizes, step=256 if sliding else cfg.crop_size)
+    else:
+        in_canvas = _canvas([_resized(s) for s in sizes], step=256 if sliding else cfg.crop_size)
 
     # Multi-chip: shard the image stream over the mesh's data axis and psum
     # the confusion matrix (reference shards eval across DDP ranks,
@@ -186,14 +195,20 @@ def evaluate_benchmark(
         from ..infer.tta import TTAPredictor
 
         predictor = TTAPredictor(predictor)
+        # DatasetMapperTTA scales the ORIGINAL image (the wrapper applies
+        # ResizeShortestEdge per scale itself), so the per-image load skips
+        # the eval pre-resize in TTA mode
+
+        def load(pair):  # noqa: F811 — intentional TTA override
+            return load_image(pair[0]), load_gt(pair[1])
 
     acc = ConfusionAccumulator(spec.num_classes, spec.ignore_label,
                                clamp_background=spec.evaluator == "sem_seg_background")
     dumper = None
     if dump_predictions:
-        from .coco_dump import PredictionDumper
+        from .coco_dump import PredictionDumper, dataset_id_map
 
-        dumper = PredictionDumper(dump_predictions)
+        dumper = PredictionDumper(dump_predictions, id_map=dataset_id_map(spec))
 
     gt_dtype = gt_upload_dtype(spec.num_classes, spec.ignore_label)
 

@@ -32,7 +32,7 @@ def main(argv=None):
     ap.add_argument("--dump-predictions", default=None, help="COCO-RLE predictions json")
     ap.add_argument("--seen-indexes", default=None, help="json list for gzero seen/unseen split")
     ap.add_argument("--unseen-indexes", default=None)
-    ap.add_argument("--tta", action="store_true", help="hflip TTA (test_with_TTA)")
+    ap.add_argument("--tta", action="store_true", help="multi-scale + hflip TTA (DatasetMapperTTA defaults: 9 scales x flip)")
     ap.add_argument("--eval-batch", type=int, default=2,
                     help="images per device dispatch (single-device sliding eval)")
     ap.add_argument("--profile", default=None, metavar="DIR",

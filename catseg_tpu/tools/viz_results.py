@@ -41,6 +41,10 @@ def render_predictions_json(
 
     gt_by_img = dict(list_dataset(spec, root=root))
     os.makedirs(output, exist_ok=True)
+    from ..evaluation.coco_dump import dataset_id_map
+
+    inv = dataset_id_map(spec)  # contiguous -> dataset
+    to_contig = {v: k for k, v in inv.items()} if inv else None
     n = 0
     for fname, recs in by_file.items():
         if n >= limit:
@@ -50,11 +54,17 @@ def render_predictions_json(
         img = load_image(fname)
         gt = load_gt(gt_by_img[fname])
         # rebuild the argmax map; unpredicted pixels show as ignore (the
-        # reference seeds the canvas with ignore_label the same way)
+        # reference seeds the canvas with ignore_label the same way).
+        # category_id carries DATASET ids for benchmarks with an id map
+        # (coco-stuff/ade847, plain_train_net.py:210-216) — invert back to
+        # contiguous train ids for the palette.
         shape = rle_decode(recs[0]["segmentation"]).shape
         sem = np.full(shape, spec.ignore_label, np.int32)
         for r in recs:
-            sem[rle_decode(r["segmentation"]).astype(bool)] = r["category_id"]
+            cat = r["category_id"]
+            if to_contig:
+                cat = to_contig.get(cat, cat)
+            sem[rle_decode(r["segmentation"]).astype(bool)] = cat
         base = os.path.splitext(os.path.basename(fname))[0]
         save_visual(img, sem, gt, os.path.join(output, base + ".jpg"),
                     spec.num_classes, spec.ignore_label)

@@ -219,10 +219,22 @@ def _up(sd: dict, prefix: str) -> dict:
     return out
 
 
-def convert_aggregator_state_dict(sd: dict, num_layers: int) -> dict:
+def convert_aggregator_state_dict(sd: dict, num_layers: int | None = None) -> dict:
     """Aggregator (cat_seg/modeling/transformer/model.py:558) state dict ->
-    aggregator pytree.  ``sd`` keys are unprefixed (conv1.weight, ...)."""
+    aggregator pytree.  ``sd`` keys are unprefixed (conv1.weight, ...).
+
+    ``num_layers`` defaults to the count present in the checkpoint (the
+    fork's base config trains NUM_LAYERS=4 — silently reading only the
+    first 2 would yield a wrong model with no error); passing an explicit
+    count that disagrees with the checkpoint raises."""
     sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    in_ckpt = 1 + max(
+        (int(k.split(".")[1]) for k in sd if k.startswith("layers.")), default=-1)
+    if num_layers is None:
+        num_layers = in_ckpt
+    elif in_ckpt and num_layers != in_ckpt:
+        raise ValueError(
+            f"checkpoint has {in_ckpt} aggregator layers, num_layers={num_layers}")
     agg: dict = {
         "conv1": {"w": _conv(sd["conv1.weight"]), "b": sd["conv1.bias"]},
         "decoder1": _up(sd, "decoder1"),
@@ -261,7 +273,7 @@ def convert_aggregator_state_dict(sd: dict, num_layers: int) -> dict:
     return agg
 
 
-def convert_catseg_checkpoint(sd: dict, num_layers: int = 2) -> dict:
+def convert_catseg_checkpoint(sd: dict, num_layers: int | None = None) -> dict:
     """Full released-checkpoint state dict -> CATSeg params pytree.
 
     ``sd``: flat dict of numpy arrays with the detectron2 key names (pass

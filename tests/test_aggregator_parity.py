@@ -175,3 +175,14 @@ def test_aggregator_parity(sd, params, T, attn):
         np.testing.assert_allclose(got_np[sel_g], want_np[sel_w], atol=5e-4, rtol=1e-3)
     else:
         np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-4, rtol=1e-3)
+
+
+def test_convert_infers_layer_count(sd):
+    """The converter reads the aggregator depth from the checkpoint keys
+    (the fork's base config trains NUM_LAYERS=4): default infers, an
+    explicit mismatching count raises instead of silently truncating."""
+    np_sd = {k: t.numpy() for k, t in sd.items()}
+    agg = convert_aggregator_state_dict(np_sd)
+    assert len(agg["layers"]) == 2
+    with pytest.raises(ValueError, match="2 aggregator layers"):
+        convert_aggregator_state_dict(np_sd, num_layers=4)

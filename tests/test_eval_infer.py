@@ -279,7 +279,7 @@ def test_tta_probs_flip_consistency():
     text /= np.linalg.norm(text, axis=-1, keepdims=True)
     pred = Predictor(params, cfg, [f"c{i}" for i in range(T)], text_feats=text,
                      input_canvas=(128, 128))
-    tta = TTAPredictor(pred)
+    tta = TTAPredictor(pred, min_sizes=None)  # cheap single-scale mode
     img = rng.randint(0, 255, (128, 128, 3), dtype=np.uint8)
 
     base = np.asarray(pred.probs(img))
@@ -297,7 +297,7 @@ def test_tta_probs_flip_consistency():
     cfg_s = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
     pred_s = Predictor(params, cfg_s, [f"c{i}" for i in range(T)], text_feats=text,
                        input_canvas=(256, 256))
-    tta_s = TTAPredictor(pred_s)
+    tta_s = TTAPredictor(pred_s, min_sizes=None)
     img2 = rng.randint(0, 255, (200, 230, 3), dtype=np.uint8)
     base = np.asarray(pred_s.probs_sliding(img2))
     base_f = np.asarray(pred_s.probs_sliding(np.ascontiguousarray(img2[:, ::-1])))
@@ -443,3 +443,40 @@ def pred_argmax_from(probs, hw):
     H, W = hw
     return np.asarray(resize_argmax_dynamic(
         jnp.asarray(probs), jnp.asarray([H, W], np.int32), (H, W)))[:H, :W]
+
+
+def test_tta_multiscale_matches_manual_composition():
+    """Default TTA = DatasetMapperTTA semantics: per-scale ResizeShortestEdge
+    of the ORIGINAL image, {identity, hflip} per scale, mean over all copies
+    (averaging in the sliding output space == averaging post-resize, both
+    linear)."""
+    import jax
+
+    from catseg_tpu.core import catseg
+    from catseg_tpu.data.loader import resize_shortest_edge
+    from catseg_tpu.infer.pipeline import Predictor
+    from catseg_tpu.infer.tta import TTAPredictor
+    from test_catseg_model import mini_cfg
+
+    cfg = mini_cfg(sliding_window=True, sw_out_res=256, sw_kernel=128, sw_overlap=0.5)
+    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    T = 5
+    text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    pred = Predictor(params, cfg, [f"c{i}" for i in range(T)], text_feats=text,
+                     input_canvas=(320, 320))
+    scales = (120, 200)
+    tta = TTAPredictor(pred, min_sizes=scales, max_size=300)
+    orig = rng.randint(0, 255, (180, 240, 3), dtype=np.uint8)
+
+    acc = None
+    for s in scales:
+        img_s = resize_shortest_edge(orig, s, 300)
+        p = np.asarray(pred.probs_sliding(img_s))
+        pf = np.asarray(pred.probs_sliding(np.ascontiguousarray(img_s[:, ::-1])))
+        ps = (p + pf[:, ::-1]) / 2.0
+        acc = ps if acc is None else acc + ps
+    want = acc / len(scales)
+    got = np.asarray(tta.probs(orig))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

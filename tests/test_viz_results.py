@@ -50,3 +50,25 @@ def test_dump_render_roundtrip(tmp_path):
     for r in recs:
         sem[rle_decode(r["segmentation"]).astype(bool)] = r["category_id"]
     np.testing.assert_array_equal(sem, preds[img_paths[0]])
+
+
+def test_dump_uses_dataset_ids_and_viz_inverts():
+    """COCO-stuff/ADE-847 dumps carry DATASET category ids (the reference
+    evaluator maps contiguous -> dataset before dumping,
+    plain_train_net.py:210-216); the renderer inverts them back."""
+    from catseg_tpu.data.catalogs import DATASETS
+    from catseg_tpu.evaluation.coco_dump import dataset_id_map, predictions_to_coco
+
+    spec = DATASETS["coco_2017_test_stuff_all_sem_seg"]
+    id_map = dataset_id_map(spec)
+    assert id_map is not None and len(id_map) == 171
+    # contiguous 11 maps to dataset id 12 (COCO stuff skips id 11)
+    assert id_map[11] == 12 and id_map[0] == 0
+
+    pred = np.zeros((4, 4), np.int32)
+    pred[2:] = 11
+    recs = predictions_to_coco(pred, "x.jpg", id_map)
+    assert sorted(r["category_id"] for r in recs) == [0, 12]
+
+    # datasets without registered metadata keep contiguous ids
+    assert dataset_id_map(DATASETS["ade20k_150_test_sem_seg"]) is None
