@@ -98,10 +98,14 @@ def dataset_root() -> str:
 
 def _class_json_search() -> tuple:
     # read per call (not at import) so setting the env var after importing
-    # the package works, same as dataset_root/CATSEG_BPE_PATH
+    # the package works, same as dataset_root/CATSEG_BPE_PATH.  The package
+    # ships the class-name lists (behavioral data, same as the prompt
+    # templates; reference datasets/*.json) so the framework is standalone;
+    # user-provided files in CATSEG_CLASS_JSONS or ./datasets take priority.
     return (
         os.environ.get("CATSEG_CLASS_JSONS", ""),
         "datasets",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "class_jsons"),
         "/root/reference/datasets",
     )
 
