@@ -81,7 +81,7 @@ def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1
     import jax.numpy as jnp
     from catseg_tpu.core import catseg
     from catseg_tpu.infer.pipeline import (
-        Predictor, resize_argmax_dynamic, resize_argmax_dynamic_batch)
+        Predictor, resize_argmax_dynamic)
 
     params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
@@ -106,8 +106,9 @@ def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1
             imgs = [images[(i + j) % len(images)] for j in range(batch)]
             hws = np.array([orig_sizes[(i + j) % len(orig_sizes)] for j in range(batch)],
                            np.int32)
-            probs = predictor.probs_sliding_batch(imgs)
-            return resize_argmax_dynamic_batch(probs, jnp.asarray(hws), out_canvas)
+            # the product harness path: forward + tail + class-major
+            # resize-argmax in one dispatch (probs never leave the chip)
+            return predictor.preds_sliding_batch(imgs, hws, out_canvas)
     else:
         def run_one(i):
             img = images[i % len(images)]

@@ -72,8 +72,6 @@ def _evaluate_benchmark_batched(predictor, acc, spec, pairs, load, out_canvas,
     images.  The tail batch is padded by repeating the last image with
     all-ignore GT (ignore rows land in the cm's void column, which every
     metric excludes)."""
-    from ..infer.pipeline import resize_argmax_dynamic_batch
-
     Hc, Wc = out_canvas
     t0 = time.time()
     n = 0
@@ -85,10 +83,9 @@ def _evaluate_benchmark_batched(predictor, acc, spec, pairs, load, out_canvas,
         while len(items) < batch:
             img, _ = items[-1]
             items = items + [(img, None)]  # pad: duplicate image, ignore GT
-        probs = predictor.probs_sliding_batch([im for im, _ in items])
         hws = np.array(
             [(g.shape if g is not None else (1, 1)) for _, g in items], np.int32)
-        preds = resize_argmax_dynamic_batch(probs, jnp.asarray(hws), (Hc, Wc))
+        preds = predictor.preds_sliding_batch([im for im, _ in items], hws, (Hc, Wc))
         gt_pads = np.full((batch, Hc, Wc), spec.ignore_label, dtype=gt_dtype)
         for i, (_, gt) in enumerate(items[:n_real]):
             H, W = gt.shape

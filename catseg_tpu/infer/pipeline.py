@@ -165,6 +165,70 @@ def resize_argmax_dynamic_batch(
     return jax.vmap(lambda p, o: resize_argmax_dynamic(p, o, canvas, chunk))(probs, out_hws)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "canvas", "chunk"))
+def sliding_window_preds_from_canvas_batch(
+    params: dict,
+    image_canvases: jnp.ndarray,
+    hws: jnp.ndarray,
+    out_hws: jnp.ndarray,
+    text_feats: jnp.ndarray,
+    cfg: CATSegConfig,
+    canvas: tuple[int, int],
+    chunk: int = 32,
+) -> jnp.ndarray:
+    """Canvas batch -> (n, Hmax, Wmax) argmax maps in ONE dispatch.
+
+    The throughput eval path: model forward + probability tail + dynamic
+    resize-argmax fuse into a single executable, so per-image probabilities
+    never leave the chip and the tunneled runtime pays one dispatch per
+    batch instead of two.  The final resize-argmax consumes the probs
+    class-major (classes on the einsum batch axis — measured ~1 ms/img
+    cheaper than the row-major form at T=150 on a v5e).  Results are
+    identical to sliding_window_probs_from_canvas_batch +
+    resize_argmax_dynamic_batch (equality tested in
+    tests/test_preds_path.py).
+
+    (A fused Pallas kernel for the tail was built and measured: ~64 ms/img
+    vs ~8 ms for this XLA composition at T=150 — the tail is matmul-bound
+    and XLA's own fusion already wins, so it was dropped.)"""
+    img640s, imgks = jax.vmap(lambda c, hw: canvas_to_sliding_inputs(c, hw, cfg))(
+        image_canvases, hws)
+    probs = sliding_window_probs_batch(params, img640s, imgks, text_feats, cfg)
+    probs_cm = probs.transpose(0, 3, 1, 2)
+    return jax.vmap(
+        lambda p, o: _resize_argmax_dynamic_cm(p, o, canvas, chunk))(probs_cm, out_hws)
+
+
+def _resize_argmax_dynamic_cm(probs_cm, out_hw, canvas, chunk):
+    """Class-major resize_argmax_dynamic: probs (T, h, w) + (2,) true size."""
+    from ..ops.resize import bilinear_row_weights_dynamic_out
+
+    h, w = probs_cm.shape[1:]
+    wh = bilinear_row_weights_dynamic_out(canvas[0], out_hw[0], h)
+    ww = bilinear_row_weights_dynamic_out(canvas[1], out_hw[1], w)
+    T = probs_cm.shape[0]
+    Tp = -(-T // chunk) * chunk
+    if Tp != T:
+        probs_cm = jnp.concatenate(
+            [probs_cm, jnp.full((Tp - T, h, w), -1.0, probs_cm.dtype)], axis=0)
+    chunks = probs_cm.reshape(Tp // chunk, chunk, h, w)
+    Hm, Wm = wh.shape[0], ww.shape[0]
+
+    def body(carry, ch):
+        best, best_idx, base = carry
+        r = jnp.einsum("thw,Hh->tHw", ch, wh, preferred_element_type=jnp.float32)
+        r = jnp.einsum("tHw,Ww->tHW", r, ww, preferred_element_type=jnp.float32)
+        cmax = jnp.max(r, axis=0)
+        cidx = jnp.argmax(r, axis=0).astype(jnp.int32) + base
+        take = cmax > best
+        return (jnp.where(take, cmax, best), jnp.where(take, cidx, best_idx), base + chunk), None
+
+    init = (jnp.full((Hm, Wm), -jnp.inf, jnp.float32),
+            jnp.zeros((Hm, Wm), jnp.int32), jnp.int32(0))
+    (_, pred, _), _ = jax.lax.scan(body, init, chunks)
+    return pred
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def whole_image_probs_from_canvas(
     params: dict,
@@ -392,6 +456,29 @@ class Predictor:
         return sliding_window_probs_from_canvas_batch(
             self.params, jnp.asarray(canvases), jnp.asarray(hws), self.text_feats, cfg
         )
+
+    def preds_sliding_batch(self, images: list[np.ndarray], out_hws: np.ndarray,
+                            out_canvas: tuple[int, int], chunk: int = 32) -> jnp.ndarray:
+        """n images -> (n, Hmax, Wmax) argmax maps at the per-image true sizes
+        (out_hws, (n, 2) int32) in one dispatch — the fused eval path: forward,
+        probability tail, and class-major resize-argmax in one executable, so
+        per-image probabilities never leave the chip.  Identical results to
+        probs_sliding_batch + resize_argmax_dynamic_batch."""
+        cfg = self.cfg
+        if self.input_canvas is None:
+            raise ValueError("preds_sliding_batch requires a fixed input_canvas")
+        Hc, Wc = self.input_canvas
+        dtype = np.uint8 if all(im.dtype == np.uint8 for im in images) else np.float32
+        canvases = np.zeros((len(images), Hc, Wc, 3), dtype=dtype)
+        hws = np.zeros((len(images), 2), dtype=np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            canvases[i, :h, :w] = im
+            hws[i] = (h, w)
+        return sliding_window_preds_from_canvas_batch(
+            self.params, jnp.asarray(canvases), jnp.asarray(hws),
+            jnp.asarray(np.asarray(out_hws, np.int32)), self.text_feats, cfg,
+            out_canvas, chunk)
 
     def probs_whole(self, image: np.ndarray) -> jnp.ndarray:
         """Whole-image (non-sliding) branch -> (96, 96, T) probs."""
