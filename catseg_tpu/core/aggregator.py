@@ -479,9 +479,12 @@ def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict,
     than the XLA conv path); other shapes use the plain-XLA _up_tail pair.
     ``use_fused=False`` (training: cfg.fused_decoder) keeps the XLA path.
     """
+    import os
+
     B, T, H, W, C = x.shape
     x = x.reshape(B * T, H, W, C)
-    if use_fused and guidance[0] is not None and guidance[1] is not None:
+    if (use_fused and guidance[0] is not None and guidance[1] is not None
+            and not os.environ.get("CATSEG_NO_PALLAS_DECODER")):
         from ..kernels.decoder import decoder_kernel_applicable, fused_decoder
         from ..parallel.mesh import active_mesh
 

@@ -207,6 +207,75 @@ def _phased_conv(x_f32, C: int, depth: int, w, left, right, dtype):
         for xcol in _phased_xcols(x_f32, C, depth, left, right, dtype)], axis=0)
 
 
+@functools.lru_cache(maxsize=None)
+def _tap_keys(depth: int):
+    """The distinct (source plane, row carry, col carry) rolled variants a
+    3x3 conv at `depth` reads across ALL output phases, plus each output
+    phase's tap -> variant index map.
+
+    depth=1 has 16 variants (vs 4x9 = 36 taps), depth=2 has 36 (vs 144): the
+    grouped conv (see _phased_conv_grouped) stacks each variant once instead
+    of once per referencing phase.
+    """
+    keys: list = []
+    kidx: dict = {}
+    plane_map = []
+    for taps in _tap_sources(depth):
+        row = []
+        for key in taps:
+            if key not in kidx:
+                kidx[key] = len(keys)
+                keys.append(key)
+            row.append(kidx[key])
+        plane_map.append(tuple(row))
+    return tuple(keys), tuple(plane_map)
+
+
+def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
+    """(Cout, 9*Cin) tap-major weights -> (P*Cout, D*Cin) grouped block form.
+
+    Row block p holds output phase p's weights laid out over the D distinct
+    rolled variants (zero where phase p has no tap reading that variant; a
+    phase's 9 taps map to 9 distinct variants, so placement is 1:1).  Built
+    outside the kernel (host/XLA) — the block matrix is an operand, not
+    per-step VMEM work.
+    """
+    keys, plane_map = _tap_keys(depth)
+    D = len(keys)
+    cout = wm.shape[0]
+    zero = jnp.zeros((cout, cin), wm.dtype)
+    rows = []
+    for kmap in plane_map:
+        by_variant = {j: t for t, j in enumerate(kmap)}
+        rows.append(jnp.concatenate(
+            [wm[:, by_variant[j] * cin:(by_variant[j] + 1) * cin]
+             if j in by_variant else zero for j in range(D)], axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype):
+    """Grouped :func:`_phased_conv`: all output phases in ONE matmul.
+
+    wb: (P*Cout, D*C) from :func:`_conv_w_grouped`.  The per-phase form runs
+    P dots at M = Cout (25-50% MXU row fill at the 32-96 decoder channel
+    counts) and concatenates a 9-block im2col per phase (P*9 VMEM block
+    copies); this form stacks the D distinct rolled variants once (D block
+    copies) and runs one dot at M = P*Cout (full fill).  The zero blocks in
+    wb add redundant MACs, but the kernel was copy/row-fill bound, not
+    FLOP bound.  Bit-behavior: f32 accumulation order over the contraction
+    differs from the per-phase form (zeros contribute exactly 0); covered by
+    the same XLA-equivalence tests.
+    """
+    keys, _ = _tap_keys(depth)
+    P = (1 << depth) ** 2
+    planes = [x_f32[p * C:(p + 1) * C] for p in range(P)]
+    stacked = jnp.concatenate(
+        [_rolled(planes[sp], cy, cx, left, right).astype(dtype)
+         for (sp, cy, cx) in keys], axis=0)
+    return jax.lax.dot_general(wb.astype(dtype), stacked, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _gn_stats(h, C: int, P: int, valid, n_groups: int):
     """Per-group (mean, rsqrt(var + eps)) over phased planes + valid lanes.
 
@@ -336,23 +405,23 @@ def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False):
     """
     valid, left, right = masks
     u1 = _up1_planes(x, W["up1"], W["up1b"], valid, dtype)
-    c1 = _phased_conv(u1, 96, 1, W["c11"], left, right, dtype) + hg1
+    c1 = _phased_conv_grouped(u1, 96, 1, W["c11"], left, right, dtype) + hg1
     st1 = _gn_stats(c1, 64, 4, valid, 4)
     h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1)
-    c2 = _phased_conv(h1, 64, 1, W["c12"], left, right, dtype)
+    c2 = _phased_conv_grouped(h1, 64, 1, W["c12"], left, right, dtype)
     st2 = _gn_stats(c2, 64, 4, valid, 4)
     h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2)
 
     planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
     u2 = _up2_planes(planes1, W["up2"], W["up2b"], valid, dtype)
-    c3 = _phased_conv(u2, 48, 2, W["c21"], left, right, dtype) + hg2
+    c3 = _phased_conv_grouped(u2, 48, 2, W["c21"], left, right, dtype) + hg2
     st3 = _gn_stats(c3, 32, 16, valid, 2)
     h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3)
-    c4 = _phased_conv(h3, 32, 2, W["c22"], left, right, dtype)
+    c4 = _phased_conv_grouped(h3, 32, 2, W["c22"], left, right, dtype)
     st4 = _gn_stats(c4, 32, 16, valid, 2)
     h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4)
 
-    out = _phased_conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
+    out = _phased_conv_grouped(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
     if keep:
         return out, (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4)
     return out
@@ -601,22 +670,27 @@ def _fused_fwd(x, g1, g2, d1, d2, head, B, T):
 
 
 def _weight_operands(d1, d2, head, dtype):
-    """Shared fwd/bwd weight operand list in _W_KEYS order (+ specs)."""
+    """Shared fwd/bwd weight operand list in _W_KEYS order (+ specs).
+
+    Conv weights ship in the grouped block form (_conv_w_grouped) consumed by
+    _phased_conv_grouped — both the forward kernel and the backward's
+    recompute sweep run the grouped convs."""
     col = lambda v: v.reshape(-1, 1).astype(jnp.float32)
     cup1 = d1["up_w"].shape[-1]
     cup2 = d2["up_w"].shape[-1]
+    grp = lambda w, cin, depth: _conv_w_grouped(_conv_w_mat(w), cin, depth).astype(dtype)
     ops = [
         _up_w_planes(d1["up_w"]).astype(dtype), col(d1["up_b"]),
-        _conv_w_mat(d1["conv1_w"][:, :, :cup1]).astype(dtype),
+        grp(d1["conv1_w"][:, :, :cup1], cup1, 1),
         col(d1["gn1"]["g"]), col(d1["gn1"]["b"]),
-        _conv_w_mat(d1["conv2_w"]).astype(dtype),
+        grp(d1["conv2_w"], 64, 1),
         col(d1["gn2"]["g"]), col(d1["gn2"]["b"]),
         _up_w_planes(d2["up_w"]).astype(dtype), col(d2["up_b"]),
-        _conv_w_mat(d2["conv1_w"][:, :, :cup2]).astype(dtype),
+        grp(d2["conv1_w"][:, :, :cup2], cup2, 2),
         col(d2["gn1"]["g"]), col(d2["gn1"]["b"]),
-        _conv_w_mat(d2["conv2_w"]).astype(dtype),
+        grp(d2["conv2_w"], 32, 2),
         col(d2["gn2"]["g"]), col(d2["gn2"]["b"]),
-        _conv_w_mat(head["w"]).astype(dtype), col(head["b"]),
+        grp(head["w"], 32, 2), col(head["b"]),
     ]
     specs = [pl.BlockSpec(o.shape, (lambda nd: (lambda i: (0,) * nd))(o.ndim))
              for o in ops]

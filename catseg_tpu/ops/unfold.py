@@ -33,24 +33,49 @@ def unfold_tiles(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
     return jnp.concatenate(tiles, axis=0).reshape(len(ys) * len(xs) * B, kernel, kernel, C)
 
 
+def _segments(size: int, origins: list[int], kernel: int) -> list[tuple[int, int]]:
+    """Half-open intervals between consecutive tile edges covering [0, size)."""
+    edges = sorted({0, size} | {e for o in origins for e in (o, o + kernel) if 0 < e < size})
+    return list(zip(edges[:-1], edges[1:]))
+
+
 def fold_tiles(tiles: jnp.ndarray, out_hw: tuple[int, int], kernel: int, stride: int) -> jnp.ndarray:
     """Inverse of unfold_tiles *without* normalization: overlaps are summed.
 
     tiles: (nTiles * B, kernel, kernel, C) in the order unfold_tiles emits.
+
+    Assembled segment-by-segment: the tile edges cut the canvas into a static
+    grid of blocks, each covered by a fixed set of tiles, so the fold is pure
+    slices + sums + one concat — a single output write.  (The scatter form —
+    sequential ``.at[].add`` onto a zeros canvas — read-modify-writes the
+    full (B, H, W, C) fp32 buffer once per tile, ~4x the HBM traffic at the
+    eval geometry.)  Summation runs in tile-index order, matching the scatter
+    form bit-for-bit in fp32.
     """
     H, W = out_hw
     ys = _tile_origins(H, kernel, stride)
     xs = _tile_origins(W, kernel, stride)
     n = len(ys) * len(xs)
     B = tiles.shape[0] // n
-    C = tiles.shape[-1]
-    out = jnp.zeros((B, H, W, C), dtype=jnp.float32)
-    idx = 0
-    for y in ys:
-        for xo in xs:
-            t = tiles[idx * B : (idx + 1) * B].astype(jnp.float32)
-            out = out.at[:, y : y + kernel, xo : xo + kernel, :].add(t)
-            idx += 1
+    tidx = {(y, xo): i for i, (y, xo) in enumerate((y, xo) for y in ys for xo in xs)}
+
+    rows = []
+    for (a, b) in _segments(H, ys, kernel):
+        cols = []
+        for (c, d) in _segments(W, xs, kernel):
+            cover = [(y, xo) for y in ys for xo in xs
+                     if y <= a and b <= y + kernel and xo <= c and d <= xo + kernel]
+            if not cover:
+                cols.append(jnp.zeros((B, b - a, d - c, tiles.shape[-1]), jnp.float32))
+                continue
+            blk = None
+            for (y, xo) in cover:  # tile-index order == scatter add order
+                i = tidx[(y, xo)]
+                t = tiles[i * B : (i + 1) * B, a - y : b - y, c - xo : d - xo].astype(jnp.float32)
+                blk = t if blk is None else blk + t
+            cols.append(blk)
+        rows.append(jnp.concatenate(cols, axis=2) if len(cols) > 1 else cols[0])
+    out = jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
     return out.astype(tiles.dtype)
 
 

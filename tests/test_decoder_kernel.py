@@ -69,3 +69,26 @@ def test_fused_decoder_gradients(agg_params):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, d1, d2)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_conv_weight_layout():
+    """_conv_w_grouped places each output phase's 9 tap blocks 1:1 onto the
+    distinct rolled variants (rest zero), so the grouped matmul equals the
+    per-phase form: out_p = sum_t W_t @ rolled(key(p, t))."""
+    from catseg_tpu.kernels.decoder import _conv_w_grouped, _tap_keys, _conv_w_mat
+
+    rng = np.random.RandomState(3)
+    for depth, cin, cout in ((1, 5, 7), (2, 4, 3)):
+        w = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
+        wm = _conv_w_mat(w)                       # (cout, 9*cin)
+        wb = np.asarray(_conv_w_grouped(wm, cin, depth))
+        keys, plane_map = _tap_keys(depth)
+        P = (1 << depth) ** 2
+        assert wb.shape == (P * cout, len(keys) * cin)
+        wm = np.asarray(wm)
+        for p, kmap in enumerate(plane_map):
+            assert len(set(kmap)) == 9  # taps map to distinct variants
+            got = np.zeros((cout, len(keys) * cin), np.float32)
+            for t, j in enumerate(kmap):
+                got[:, j * cin:(j + 1) * cin] = wm[:, t * cin:(t + 1) * cin]
+            np.testing.assert_array_equal(wb[p * cout:(p + 1) * cout], got)
