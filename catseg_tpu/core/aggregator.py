@@ -296,8 +296,11 @@ def class_aggregation(
     B, T, H, W, C = x.shape
     ph, pw = cfg.pooling_size
 
+    import os
+
     if ((ph, pw) == (1, 1) and cfg.attention_type == "linear" and C % 128 == 0
-            and C % cfg.num_heads == 0):
+            and C % cfg.num_heads == 0
+            and not os.environ.get("CATSEG_NO_PALLAS_CLASS")):
         # eval path: pooling is the identity -> whole layer in one fused
         # kernel on position-major data; the learnable pad rows enter as
         # precomputed constant KV/Ksum terms (see kernels/class_layer.py)

@@ -60,8 +60,12 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     D = C // heads
     bd = _blockdiag(C, D, jnp.float32)
 
-    x3 = x_ref[0, :, 0]  # (T, W, C) — one image row, class-major
-    x = x3.reshape(T * W, C)
+    # position-major: one relayout in and one out replaces the W strided
+    # (T, 3C) position slices + stack of the per-position form, and lets the
+    # whole attention run as W-batched dots (the single batch dim Mosaic
+    # allows) instead of an unrolled Python loop of M<=T tiny matmuls
+    x3 = x_ref[0, :, 0].transpose((1, 0, 2))  # (W, T, C)
+    x = x3.reshape(W * T, C)
     ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -69,36 +73,30 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
 
     qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
-    qkv3 = qkv.reshape(T, W, 3 * C)
+    qkv3 = qkv.reshape(W, T, 3 * C)
     padkv = padkv_ref[:]          # (C, C) fp32, block-diagonal
     padks = padks_ref[:]          # (1, C) fp32
+    q = qkv3[..., :C]
+    k = qkv3[..., C : 2 * C]
+    v = qkv3[..., 2 * C :]
     if has_guid:
-        qg = qg_ref[0].astype(jnp.float32)  # (T, C)
-        kg = kg_ref[0].astype(jnp.float32)
-
-    outs = []
-    for w in range(W):
-        blk = qkv3[:, w, :]  # (T, 3C): one spatial position, all classes
-        q = blk[:, :C]
-        k = blk[:, C : 2 * C]
-        v = blk[:, 2 * C :]
-        if has_guid:
-            q = q + qg
-            k = k + kg
-        Q = _elu1(q)
-        K = _elu1(k)
-        kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        kv = kv * bd + padkv
-        # sublane reduce of the position-sliced K is unimplemented in Mosaic;
-        # a ones-row contraction computes the same (1, C) sum on the MXU
-        ksum = jax.lax.dot_general(jnp.ones((1, T), jnp.float32), K,
-                                   dimension_numbers=(((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32) + padks
-        z = jnp.dot(Q * ksum, bd, preferred_element_type=jnp.float32)  # (T, C) head sums
-        attn = jnp.dot(Q, kv, preferred_element_type=jnp.float32) * (Tp / (z + _EPS))
-        outs.append(attn)
-    attn_all = jnp.stack(outs, axis=1).reshape(T * W, C)
+        q = q + qg_ref[0].astype(jnp.float32)[None]  # (T, C) broadcast over W
+        k = k + kg_ref[0].astype(jnp.float32)[None]
+    Q = _elu1(q)                 # (W, T, C) fp32
+    K = _elu1(k)
+    kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)  # (W, C, C)
+    kv = kv * bd[None] + padkv[None]
+    # sublane reduce of K is unimplemented in Mosaic; a ones-row contraction
+    # computes the same per-position (1, C) sum on the MXU
+    ksum = jax.lax.dot_general(jnp.ones((W, 1, T), jnp.float32), K,
+                               dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32) + padks[None]
+    z = jnp.dot((Q * ksum).reshape(W * T, C), bd,
+                preferred_element_type=jnp.float32)  # per-head sums -> (W*T, C)
+    attn = jax.lax.dot_general(Q, kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+    attn_all = attn.reshape(W * T, C) * (Tp / (z + _EPS))
     seq = (x32 + attn_all).astype(x.dtype)
 
     s32 = seq.astype(jnp.float32)
@@ -108,7 +106,7 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
     h = jnp.maximum(h, 0.0).astype(x.dtype)
     o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
-    o_ref[0, :, 0] = (seq + o.astype(x.dtype)).reshape(T, W, C)
+    o_ref[0, :, 0] = (seq + o.astype(x.dtype)).reshape(W, T, C).transpose((1, 0, 2))
 
 
 def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
