@@ -25,6 +25,8 @@ the round count.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -195,9 +197,7 @@ def measure_train(cfg, batch, budget_s=30.0):
     return out
 
 
-def main():
-    import os
-
+def _setup_compile_cache():
     import jax
 
     # persistent compile cache: the ~200 s first-compile of the eval pipeline
@@ -209,7 +209,55 @@ def main():
     except Exception:
         pass
 
+
+def _secondary_registry():
+    """name -> zero-arg measurement, for --only subprocess runs."""
     from catseg_tpu.configs import vitb384, vitl336, eval_preset
+
+    return {
+        "vitb384_T150_noise_input": lambda: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=15.0, batch=2, n_per_round=8, noise=True),
+        "vitb384_T150_batch4": lambda: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=15.0, batch=4, n_per_round=8),
+        "vitb384_T150_batch1": lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=15.0),
+        "vitl336_T150": lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=15.0),
+        "vitb384_T847_topk": lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=15.0),
+        "train_step_vitb384": lambda: measure_train(vitb384(), batch=4, budget_s=15.0),
+    }
+
+
+def _run_only(names: str) -> None:
+    """Subprocess entry: run the comma-separated secondaries in order,
+    streaming one ``{"name": ..., "result": ...}`` JSON line per completion
+    (so a timeout mid-list still yields every earlier result)."""
+    _setup_compile_cache()
+    # back-to-back process starts are the known trigger for transient
+    # FAILED_PRECONDITION on the tunneled chip — probe with one retry
+    import jax.numpy as jnp
+
+    for attempt in (0, 1):
+        try:
+            _sync(jnp.ones((8, 8)))
+            break
+        except Exception as e:
+            _log(f"subprocess device probe error (attempt {attempt}): {e}")
+            if attempt:
+                raise
+            time.sleep(5.0)
+    registry = _secondary_registry()
+    for name in names.split(","):
+        _log(f"secondary: {name}")
+        try:
+            result = registry[name]()
+        except Exception as e:  # keep going: one bad variant must not sink the rest
+            result = f"error: {type(e).__name__}: {e}"
+        print(json.dumps({"name": name, "result": result}), flush=True)
+
+
+def main():
+    _setup_compile_cache()
+
+    from catseg_tpu.configs import vitb384, eval_preset
 
     # transient FAILED_PRECONDITION on back-to-back process starts is a known
     # tunnel artifact, and the tunnel itself goes dark for stretches — probe
@@ -242,29 +290,47 @@ def main():
 
     t_start = time.time()
     # headline = the product eval path (harness default eval_batch=2: one
-    # 10-tile dispatch per 2 images)
+    # 10-tile dispatch per 2 images).  n_per_round=16 -> 32 images between
+    # queue-drain syncs: the harness itself never syncs mid-benchmark (the
+    # confusion matrix accumulates on device), so amortizing the ~0.5 s
+    # tunnel round trip over more images is the honest measurement, not a
+    # flattering one.
     primary = measure_eval(eval_preset(vitb384()), T=150, budget_s=50.0,
-                           batch=2, n_per_round=8)
-    extra = {}
-    # secondary metrics, each gated on remaining wall budget and never
-    # allowed to sink the headline
-    secondary = [
-        ("vitb384_T150_noise_input", lambda: measure_eval(
-            eval_preset(vitb384()), T=150, budget_s=15.0, batch=2, n_per_round=8, noise=True)),
-        ("vitb384_T150_batch1", lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=15.0)),
-        ("vitl336_T150", lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=15.0)),
-        ("vitb384_T847_topk", lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=15.0)),
-        ("train_step_vitb384", lambda: measure_train(vitb384(), batch=4, budget_s=15.0)),
-    ]
-    for name, fn in secondary:
-        if time.time() - _T0 > TOTAL_BUDGET_S - 45:
-            extra[name] = "skipped: wall budget"
-            continue
-        _log(f"secondary: {name}")
+                           batch=2, n_per_round=16)
+    # secondary metrics run in ONE subprocess with a hard wall deadline: a
+    # cold compile cannot be interrupted in-process, and the headline must
+    # never be lost to a slow secondary.  The child streams one JSON line per
+    # completed secondary, so killing it at the deadline keeps every result
+    # produced so far; one process startup (~60 s of jax + tunnel + cache
+    # init) amortizes across all secondaries instead of being paid per name.
+    names = list(_secondary_registry())
+    extra = {n: "skipped: wall budget" for n in names}
+    remaining = TOTAL_BUDGET_S - (time.time() - _T0)
+    if remaining > 90:
+        stdout = ""
         try:
-            extra[name] = fn()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", ",".join(names)],
+                capture_output=True, text=True, timeout=remaining - 20,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            stdout = proc.stdout or ""
+            if proc.returncode != 0:
+                tail = (proc.stderr or stdout).strip().splitlines()[-1:]
+                _log(f"secondary subprocess rc={proc.returncode}: {tail}")
+        except subprocess.TimeoutExpired as e:
+            stdout = e.stdout or ""  # partial output captured before the kill
+            if isinstance(stdout, bytes):  # TimeoutExpired may carry raw bytes
+                stdout = stdout.decode(errors="replace")
+            _log("secondary subprocess hit the wall deadline; keeping partial results")
         except Exception as e:
-            extra[name] = f"error: {type(e).__name__}: {e}"
+            _log(f"secondary subprocess error: {type(e).__name__}: {e}")
+        for line in stdout.splitlines():
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                    extra[rec["name"]] = rec["result"]
+                except Exception:
+                    pass
 
     print(
         json.dumps(
@@ -285,4 +351,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--only":
+        _run_only(sys.argv[2])
+    else:
+        main()
