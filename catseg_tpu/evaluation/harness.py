@@ -181,11 +181,22 @@ def evaluate_benchmark(
     # sequential — they need host-side predictions per image.
     import jax as _jax
 
+    n_dev = len(_jax.devices())
     if (sliding and not tta and dump_visuals == 0 and dump_predictions is None
-            and len(_jax.devices()) > 1):
+            and n_dev > 1):
         return _evaluate_benchmark_sharded(params, cfg, spec, class_names, pairs, load,
                                            in_canvas, (Hc, Wc), verbose,
                                            per_device_batch=max(1, eval_batch))
+    if n_dev > 1:
+        # never fall back silently: an 8-chip eval quietly going single-device
+        # is exactly the failure mode that wastes the big runs
+        blockers = [flag for flag, on in [
+            ("--tta", tta), ("--dump-visuals", dump_visuals != 0),
+            ("--dump-predictions", dump_predictions is not None),
+            ("whole-image mode (no sliding)", not sliding)] if on]
+        print(f"[harness] WARNING: {n_dev} devices visible but "
+              f"{', '.join(blockers) or 'this mode'} forces the sequential "
+              f"single-device path (per-image host-side output)", flush=True)
 
     predictor = Predictor(params, cfg, class_names, input_canvas=in_canvas)
     if tta:

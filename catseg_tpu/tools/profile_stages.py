@@ -1,4 +1,4 @@
-"""Per-stage wall-clock profile of the eval hot path on the current backend.
+"""Per-stage wall-clock + roofline profile of the eval hot path.
 
 The sliding-window eval pipeline compiles into one executable
 (infer.pipeline.sliding_window_preds_from_canvas_batch), so XLA's own
@@ -10,6 +10,13 @@ plus the end-to-end pipeline and a host loop including h2d upload, using
 queue-drain timing (submit N, fetch one scalar; ``block_until_ready`` does
 not block under tunneled runtimes).
 
+Each stage record also carries XLA's own cost analysis (FLOPs, HBM bytes
+accessed) and the roofline time those imply at the assumed chip peaks:
+``roofline_ms = max(flops/peak_flops, bytes/peak_bw)``, and
+``roofline_frac = roofline_ms / measured_ms`` (1.0 = at the hardware bound;
+low values mean launch overhead / poor tiling / serialization headroom).
+``bound`` says which wall is closer ("flops" or "hbm").
+
 The stage sum exceeding the end-to-end time is expected: XLA fuses across
 stage boundaries inside the single executable.
 
@@ -18,7 +25,7 @@ memory tracker (cat_seg/gpu_mem_track.py — see utils/profiling.py for that
 equivalent), no stage timer.
 
 Usage: python -m catseg_tpu.tools.profile_stages [--config vitb384] [-T 150]
-       [--batch 2] [--device cpu|tpu] [--reps 20]
+       [--batch 2] [--device cpu|tpu] [--reps 20] [--json]
 """
 
 from __future__ import annotations
@@ -28,24 +35,41 @@ import time
 
 import numpy as np
 
+# assumed chip peaks for the roofline columns (v5e); override via CLI if
+# profiling elsewhere.  fp32 stages on the MXU run at roughly half bf16.
+PEAK_TFLOPS_BF16 = 197.0
+PEAK_HBM_GBPS = 819.0
 
-def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--config", default="vitb384")
-    ap.add_argument("-T", type=int, default=150, help="class count")
-    ap.add_argument("--batch", type=int, default=2, help="images per dispatch")
-    ap.add_argument("--reps", type=int, default=20)
-    from .common import add_device_arg, apply_device, probe_device
 
-    add_device_arg(ap)
-    args = ap.parse_args(argv)
-    apply_device(args)
-    probe_device()
+def _cost(fn, *fargs):
+    """(flops, bytes_accessed) from XLA's cost analysis; (None, None) if the
+    backend doesn't expose it."""
+    try:
+        import jax
 
+        compiled = jax.jit(fn).lower(*fargs).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+        return (flops or None), (nbytes or None)
+    except Exception:
+        return None, None
+
+
+def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
+                          peak_gbps=PEAK_HBM_GBPS, log=None):
+    """Measure every eval-path stage; return a list of record dicts.
+
+    Records: {stage, ms, gflop, gbytes, roofline_ms, roofline_frac, bound}.
+    Ends with an ``end_to_end`` record (device-resident canvases) — per
+    dispatch of ``batch`` images, so divide by batch for per-image ms.
+    """
     import jax
     import jax.numpy as jnp
 
-    from .. import configs
+    from .. import configs  # noqa: F401  (kept for parity with CLI use)
     from ..core import catseg
     from ..core.aggregator import (
         aggregator_forward, class_aggregation, conv_decoder, corr_embed,
@@ -54,8 +78,6 @@ def main(argv=None):
     from ..infer import pipeline as pl
     from ..ops import conv2d, fold_divisor, fold_tiles, resize_bilinear
 
-    T, BATCH = args.T, args.batch
-    cfg = configs.eval_preset(getattr(configs, args.config)())
     params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(0)
     text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
@@ -65,45 +87,63 @@ def main(argv=None):
     def sync(x):
         return float(jnp.sum(jax.tree.leaves(x)[0]))
 
-    def bench(name, fn, *fargs, n=args.reps):
-        out = fn(*fargs)
+    records = []
+
+    def bench(name, fn, *fargs, n=reps):
+        jfn = jax.jit(fn)
+        out = jfn(*fargs)
         sync(out)  # compile + drain
         t0 = time.time()
         for _ in range(n):
-            out = fn(*fargs)
+            out = jfn(*fargs)
         sync(out)
-        dt = (time.time() - t0) / n * 1000
-        print(f"{name:34s} {dt:8.2f} ms")
+        ms = (time.time() - t0) / n * 1000
+        flops, nbytes = _cost(fn, *fargs)
+        rec = {"stage": name, "ms": round(ms, 2)}
+        if flops is not None or nbytes is not None:
+            t_flops = (flops or 0.0) / (peak_tflops * 1e12)
+            t_hbm = (nbytes or 0.0) / (peak_gbps * 1e9)
+            roof = max(t_flops, t_hbm)
+            rec.update({
+                "gflop": round((flops or 0.0) / 1e9, 1),
+                "gbytes": round((nbytes or 0.0) / 1e9, 3),
+                "roofline_ms": round(roof * 1000, 2),
+                "roofline_frac": round(roof * 1000 / ms, 3) if ms > 0 else None,
+                "bound": "flops" if t_flops >= t_hbm else "hbm",
+            })
+        records.append(rec)
+        if log:
+            log(f"{name:34s} {ms:8.2f} ms  "
+                + (f"[{rec.get('gflop', 0):8.1f} GF {rec.get('gbytes', 0):7.3f} GB "
+                   f"roof {rec.get('roofline_ms', 0):6.2f} ms "
+                   f"({100 * (rec.get('roofline_frac') or 0):4.0f}% {rec.get('bound', '?')})]"
+                   if "roofline_ms" in rec else ""))
         return out
 
     k, s, out_res = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
     nt = ((out_res - k) // s + 1) ** 2
-    B = (nt + 1) * BATCH
+    B = (nt + 1) * batch
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    canvases = jnp.asarray(rng.randint(0, 255, (BATCH, 1024, 1024, 3), dtype=np.uint8))
-    hws = jnp.asarray(np.array([[640, 853]] * BATCH, np.int32))
+    canvases = jnp.asarray(rng.randint(0, 255, (batch, 1024, 1024, 3), dtype=np.uint8))
+    hws = jnp.asarray(np.array([[640, 853]] * batch, np.int32))
     tiles = jnp.asarray(rng.rand(B, k, k, 3).astype(np.float32) * 255)
 
     R = cfg.clip_resolution
 
-    @jax.jit
     def stage_clip(params, imgs):
         x = catseg.normalize_clip(imgs)
         x = jax.image.resize(x, (B, R, R, 3), "bilinear")
         return catseg.clip_guidance_features(params, x, cfg)
 
-    img_feats, guidance = stage_clip(params, tiles)
+    img_feats, guidance = jax.jit(stage_clip)(params, tiles)
     sync(img_feats)
     textB = jnp.broadcast_to(text[None], (B,) + text.shape).astype(dtype)
-    print(f"--- stages ({B} tiles = {BATCH} images x {nt + 1}, T={T}, "
-          f"{jax.default_backend()}) ---")
     bench(f"clip_guidance ({B} tiles)", stage_clip, params, tiles)
-    corr = bench("correlation", jax.jit(correlation), img_feats, textB)
+    corr = bench("correlation", correlation, img_feats, textB)
     agg = params["agg"]
-    x0 = bench("corr_embed 7x7", jax.jit(lambda c: corr_embed(c, agg)), corr)
+    x0 = bench("corr_embed 7x7", lambda c: corr_embed(c, agg), corr)
 
-    @jax.jit
     def stage_guid_proj(guidance):
         pg = jax.nn.relu(conv2d(guidance[0], agg["guidance_proj"]["w"],
                                 agg["guidance_proj"]["b"], padding=1))
@@ -111,7 +151,7 @@ def main(argv=None):
               for p, g in zip(agg["decoder_guidance_proj"], guidance[1:])]
         return pg, dg
 
-    pg, dg = stage_guid_proj(guidance)
+    pg, dg = jax.jit(stage_guid_proj)(guidance)
     sync(pg)
     bench("guidance projections", stage_guid_proj, guidance)
 
@@ -121,24 +161,23 @@ def main(argv=None):
                                     agg["text_guidance_proj"]["b"]))
 
     x1 = bench("swin pair (one layer)",
-               jax.jit(lambda x, pg: spatial_aggregation(x, pg, agg["layers"][0], cfg)),
+               lambda x, pg: spatial_aggregation(x, pg, agg["layers"][0], cfg),
                x0, pg)
     x2 = bench("class layer (one)",
-               jax.jit(lambda x, tg: class_aggregation(x, tg, agg["layers"][0], cfg)),
+               lambda x, tg: class_aggregation(x, tg, agg["layers"][0], cfg),
                x1, text_guid)
-    logits = bench("decoder (fused)",
-                   jax.jit(lambda x, d0, d1: conv_decoder(x, [d0, d1], agg, use_fused=True)),
-                   x2, dg[0], dg[1])
+    bench("decoder (fused)",
+          lambda x, d0, d1: conv_decoder(x, [d0, d1], agg, use_fused=True),
+          x2, dg[0], dg[1])
     bench("aggregator_forward (all)",
-          jax.jit(lambda f, t, g0, g1, g2: aggregator_forward(agg, f, t, (g0, g1, g2), cfg)),
+          lambda f, t, g0, g1, g2: aggregator_forward(agg, f, t, (g0, g1, g2), cfg),
           img_feats, textB, *guidance)
 
-    @jax.jit
     def stage_tail(logits):
         lg = logits.transpose(0, 2, 3, 1)
         per_image = jnp.concatenate(
-            [lg[: nt * BATCH].reshape(nt, BATCH, *lg.shape[1:]).transpose(1, 0, 2, 3, 4),
-             lg[nt * BATCH:][:, None]], axis=1)
+            [lg[: nt * batch].reshape(nt, batch, *lg.shape[1:]).transpose(1, 0, 2, 3, 4),
+             lg[nt * batch:][:, None]], axis=1)
 
         def tail(pi):
             l2 = resize_bilinear(pi, (k, k))
@@ -153,17 +192,67 @@ def main(argv=None):
     logits_in = jnp.asarray(rng.randn(B, T, 96, 96).astype(np.float32))
     probs = bench("tail (up+sigmoid+fold)", stage_tail, logits_in)
     bench("resize_argmax (dynamic)",
-          jax.jit(lambda p, h: pl.resize_argmax_dynamic_batch(p, h, (768, 768))),
+          lambda p, h: pl.resize_argmax_dynamic_batch(p, h, (768, 768)),
           probs, hws)
 
-    print(f"--- end to end (device-resident canvases, per dispatch of {BATCH}) ---")
-    out_hws = jnp.asarray(np.array([[512, 683]] * BATCH, np.int32))
+    out_hws = jnp.asarray(np.array([[512, 683]] * batch, np.int32))
 
     def full(canvases, hws):
         return pl.sliding_window_preds_from_canvas_batch(
             params, canvases, hws, out_hws, text, cfg, (768, 768))
 
-    bench("full pipeline (preds path)", full, canvases, hws, n=max(args.reps // 2, 4))
+    bench("end_to_end", full, canvases, hws, n=max(reps // 2, 4))
+    return records
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--config", default="vitb384")
+    ap.add_argument("-T", type=int, default=150, help="class count")
+    ap.add_argument("--batch", type=int, default=2, help="images per dispatch")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--json", action="store_true", help="emit records as JSON")
+    ap.add_argument("--skip-host-loop", action="store_true")
+    from .common import add_device_arg, apply_device, probe_device
+
+    add_device_arg(ap)
+    args = ap.parse_args(argv)
+    apply_device(args)
+    probe_device()
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import configs
+    from ..infer import pipeline as pl
+
+    T, BATCH = args.T, args.batch
+    cfg = configs.eval_preset(getattr(configs, args.config)())
+    k, s, out_res = cfg.sw_kernel, cfg.sw_stride, cfg.sw_out_res
+    nt = ((out_res - k) // s + 1) ** 2
+    B = (nt + 1) * BATCH
+    print(f"--- stages ({B} tiles = {BATCH} images x {nt + 1}, T={T}, "
+          f"{jax.default_backend()}) ---")
+    records = collect_stage_records(
+        cfg, T, BATCH, reps=args.reps,
+        log=None if args.json else (lambda m: print(m, flush=True)))
+    if args.json:
+        import json
+
+        print(json.dumps(records, indent=1))
+    if args.skip_host_loop:
+        return
+
+    from ..core import catseg  # noqa: F401
+
+    rng = np.random.RandomState(0)
+    text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    params = __import__("catseg_tpu.core.catseg", fromlist=["x"]).init_catseg_params(
+        jax.random.PRNGKey(0), cfg)
+
+    def sync(x):
+        return float(jnp.sum(jax.tree.leaves(x)[0]))
 
     imgs = [rng.randint(0, 255, (640, 853, 3), dtype=np.uint8) for _ in range(8)]
     predictor = pl.Predictor(params, cfg, [f"c{i}" for i in range(T)],

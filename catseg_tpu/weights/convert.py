@@ -326,10 +326,23 @@ def convert_catseg_checkpoint(sd: dict, num_layers: int | None = None) -> dict:
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """Load a .pth via torch CPU and return a flat numpy state dict."""
+    """Load a .pth/.pt via torch CPU and return a flat numpy state dict.
+
+    Handles both pickle checkpoints (released model_base.pth style) and the
+    OpenAI zoo's TorchScript archives (ViT-B-16.pt etc.) — the reference
+    consumes the latter with ``torch.jit.load`` at
+    cat_seg/third_party/clip.py:70-84 and falls back to ``torch.load``;
+    we try in the opposite order because our primary artifacts are pickles."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        # OpenAI zoo TorchScript archive: the state dict lives on the
+        # scripted module (clip.py:75 `torch.jit.load(...).state_dict()`)
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    if isinstance(obj, torch.jit.ScriptModule):
+        obj = obj.state_dict()
     if isinstance(obj, dict) and "model" in obj:
         obj = obj["model"]
     return {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}

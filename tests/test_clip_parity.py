@@ -190,3 +190,41 @@ def test_tap_at_final_layer(params):
     # the final tap differs from the penultimate output (the block did run)
     _, tapped_pen = jclip.encode_image(params, imgs, VARIANT, dense=True, taps=(n - 2,))
     assert not np.allclose(np.asarray(tapped_b[1]), np.asarray(tapped_pen[0]))
+
+
+def test_torchscript_archive_loading(sd, params, tmp_path):
+    """The OpenAI zoo ships TorchScript archives (ViT-B-16.pt); the reference
+    loads them via torch.jit.load (third_party/clip.py:70-84).
+    load_torch_checkpoint must accept such an archive and yield the same
+    converted params as a bare state dict."""
+    import torch
+
+    from catseg_tpu.weights.convert import load_torch_checkpoint
+
+    # build a buffer-tree module whose state_dict equals the mini-CLIP sd,
+    # then save it as a TorchScript archive like the zoo's artifacts
+    class _Holder(torch.nn.Module):
+        def forward(self):
+            return torch.zeros(1)
+
+    root = _Holder()
+    for k, t in sd.items():
+        parts = k.split(".")
+        m = root
+        for p in parts[:-1]:
+            if not hasattr(m, p):
+                m.add_module(p, torch.nn.Module())
+            m = getattr(m, p)
+        m.register_buffer(parts[-1], t)
+    path = str(tmp_path / "mini_clip_jit.pt")
+    torch.jit.save(torch.jit.trace(root, (), strict=False), path)
+
+    flat = load_torch_checkpoint(path)
+    assert set(flat) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(flat[k], sd[k].numpy())
+    params2 = convert_clip_state_dict(flat)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
