@@ -86,9 +86,8 @@ def scatter_full_logits(logits: jnp.ndarray, idx: jnp.ndarray, num_classes: int)
 
 
 @functools.lru_cache(maxsize=None)
-def _shift_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
-    """Additive (num_windows, N, N) mask for shifted-window attention
-    (model.py:161-179)."""
+def _shift_mask_ids(H: int, W: int, window: int, shift: int) -> np.ndarray:
+    """(num_windows, N) region ids per window token (model.py:161-175)."""
     img = np.zeros((H, W))
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
@@ -96,9 +95,17 @@ def _shift_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
             img[hs, ws] = cnt
             cnt += 1
     nh, nw = H // window, W // window
-    wins = img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3).reshape(-1, window * window)
-    diff = wins[:, None, :] - wins[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+    return (img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3)
+            .reshape(-1, window * window).astype(np.int8))
+
+
+def _shift_mask(H: int, W: int, window: int, shift: int) -> jnp.ndarray:
+    """Additive (num_windows, N, N) mask for shifted-window attention
+    (model.py:161-179), expanded IN-GRAPH from the (nW, N) region-id rows —
+    a dense (4, 144, 144) f32 literal costs ~330 KB of serialized HLO per
+    instance and the tunneled remote-compile endpoint caps request size."""
+    ids = jnp.asarray(_shift_mask_ids(H, W, window, shift))
+    return jnp.where(ids[:, None, :] != ids[:, :, None], -100.0, 0.0).astype(jnp.float32)
 
 
 def _swin_block(
@@ -148,7 +155,7 @@ def _swin_block(
 
     from ..kernels import fused_window_attention
 
-    add_mask = mask if mask is not None else np.zeros((nW, N, N), dtype=np.float32)
+    add_mask = mask if mask is not None else jnp.zeros((nW, N, N), dtype=jnp.float32)
     out = fused_window_attention(
         q.reshape(-1, N, C),
         k.reshape(-1, N, C),

@@ -79,11 +79,14 @@ def _partition_indices(H: int, W: int, win: int, shift: int) -> np.ndarray:
     )
 
 
-def _perm_matrix(src: np.ndarray) -> np.ndarray:
-    n = src.shape[0]
-    P = np.zeros((n, n), np.float32)
-    P[np.arange(n), src] = 1.0
-    return P
+def _perm_matrix(src: np.ndarray, dtype) -> jnp.ndarray:
+    """(n, n) permutation matrix with P[i, src[i]] = 1, materialized IN-GRAPH
+    from the (n,) index vector: a dense 576x576 literal is ~663 KB of
+    serialized HLO per instance (the tunneled runtime's remote-compile
+    endpoint rejects multi-MB programs), while the one_hot lowering is a few
+    bytes of iota/compare ops producing the identical matrix."""
+    return jax.nn.one_hot(jnp.asarray(np.asarray(src, np.int32)), src.shape[0],
+                          dtype=dtype)
 
 
 def _window_attn(q, k, v, mask, heads: int, scale: float, G: int, nW: int, N: int):
@@ -388,13 +391,13 @@ def _pallas_pair(x, guid4, p1, p2, mask, heads: int, win: int, interpret: bool):
 
     src1 = _partition_indices(H, W, win, 0)
     src2 = _partition_indices(H, W, win, win // 2)
-    perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
-    perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
+    perm1 = _perm_matrix(src1, x.dtype)
+    perm2 = _perm_matrix(src2, x.dtype)
     # block-1-window-order -> block-2-window-order composition: row t of the
     # win2 layout holds grid token src2[t], which sits at row inv1[src2[t]]
     # of the win1 layout
     inv1 = np.argsort(src1)
-    perm12 = jnp.asarray(_perm_matrix(inv1[src2]), x.dtype)
+    perm12 = _perm_matrix(inv1[src2], x.dtype)
 
     grid = (B, Tp // G)
     x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)
@@ -521,9 +524,9 @@ def _pallas_pair_bwd(x, g, guid4, p1, p2, mask, heads: int, win: int, interpret:
 
     src1 = _partition_indices(H, W, win, 0)
     src2 = _partition_indices(H, W, win, win // 2)
-    perm1 = jnp.asarray(_perm_matrix(src1), x.dtype)
-    perm2 = jnp.asarray(_perm_matrix(src2), x.dtype)
-    perm12 = jnp.asarray(_perm_matrix(np.argsort(src1)[src2]), x.dtype)
+    perm1 = _perm_matrix(src1, x.dtype)
+    perm2 = _perm_matrix(src2, x.dtype)
+    perm12 = _perm_matrix(np.argsort(src1)[src2], x.dtype)
 
     grid = (B, Tp // G)
     x_spec = pl.BlockSpec((1, G, HW, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -94,6 +95,49 @@ def _nearest_index(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum((i * in_size / out_size).astype(np.int64), in_size - 1)
 
 
+def _linear_taps(in_size: int, out_size: int, align_corners: bool):
+    """Sparse form of ``_linear_weights``: (x0, x1, w0, w1) per output row,
+    with the clamped-edge merge folded in (w0=1, w1=0 where x0==x1)."""
+    if in_size == out_size:
+        i = np.arange(out_size, dtype=np.int64)
+        return i, i, np.ones(out_size, np.float32), np.zeros(out_size, np.float32)
+    if in_size == 1:
+        z = np.zeros(out_size, np.int64)
+        return z, z, np.ones(out_size, np.float32), np.zeros(out_size, np.float32)
+    i = np.arange(out_size, dtype=np.float32)
+    if align_corners:
+        ratio = np.float32(in_size - 1) / np.float32(out_size - 1)
+        x = i * ratio
+    else:
+        scale = np.float32(in_size) / np.float32(out_size)
+        x = (i + np.float32(0.5)) * scale - np.float32(0.5)
+        x = np.clip(x, np.float32(0.0), None)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, in_size - 1)
+    x1 = np.minimum(x0 + 1, in_size - 1)
+    f = (x - x0.astype(np.float32)).astype(np.float64)
+    w0 = (1.0 - f).astype(np.float32)
+    w1 = f.astype(np.float32)
+    edge = x0 == x1
+    w0[edge], w1[edge] = 1.0, 0.0
+    return x0, x1, w0, w1
+
+
+def _linear_weights_graph(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    """(out, in) bilinear matrix materialized IN-GRAPH from the sparse taps.
+
+    Bit-identical to ``jnp.asarray(_linear_weights(...), float32)`` (same
+    coordinate math; the f64 edge-row accumulation collapses to an exact
+    1.0), but a few KB of serialized HLO instead of a dense f32 literal —
+    the tunneled remote-compile endpoint caps request size, and a 640x384
+    literal alone is ~1 MB."""
+    x0, x1, w0, w1 = _linear_taps(in_size, out_size, align_corners)
+    cols = jax.lax.iota(jnp.int32, in_size)[None, :]
+    x0j = jnp.asarray(x0.astype(np.int32))[:, None]
+    x1j = jnp.asarray(x1.astype(np.int32))[:, None]
+    return ((cols == x0j) * jnp.asarray(w0)[:, None]
+            + (cols == x1j) * jnp.asarray(w1)[:, None])
+
+
 def _apply_separable(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.ndarray:
     """Apply per-axis weight matrices to the two spatial axes of NHWC ``x``."""
     dtype = x.dtype
@@ -114,7 +158,8 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    return _apply_separable(x, _linear_weights(h, oh, align_corners), _linear_weights(w, ow, align_corners))
+    return _apply_separable(x, _linear_weights_graph(h, oh, align_corners),
+                            _linear_weights_graph(w, ow, align_corners))
 
 
 def resize_bicubic(x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False) -> jnp.ndarray:

@@ -11,9 +11,10 @@ fold is a sum of padded tiles; the overlap divisor is a trace-time constant
 
 from __future__ import annotations
 
-import functools
+import functools  # noqa: F401  (kept: tile-cover maps below are cached)
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -79,12 +80,21 @@ def fold_tiles(tiles: jnp.ndarray, out_hw: tuple[int, int], kernel: int, stride:
     return out.astype(tiles.dtype)
 
 
-@functools.lru_cache(maxsize=None)
-def fold_divisor(out_hw: tuple[int, int], kernel: int, stride: int) -> np.ndarray:
-    """Constant overlap-count map: fold(unfold(ones)), shape (H, W, 1)."""
+def fold_divisor(out_hw: tuple[int, int], kernel: int, stride: int) -> jnp.ndarray:
+    """Constant overlap-count map: fold(unfold(ones)), shape (H, W, 1).
+
+    The count is separable — div[y, x] = (#tiles covering row y) x
+    (#tiles covering col x) — and is computed IN-GRAPH from the tiny origin
+    lists: a dense (640, 640, 1) f32 literal is ~1.6 MB of serialized HLO,
+    and the tunneled remote-compile endpoint caps request size.  Small-int
+    products are exact in f32, so values match the dense accumulation
+    bit-for-bit."""
     H, W = out_hw
-    div = np.zeros((H, W, 1), dtype=np.float32)
-    for y in _tile_origins(H, kernel, stride):
-        for xo in _tile_origins(W, kernel, stride):
-            div[y : y + kernel, xo : xo + kernel] += 1.0
-    return div
+
+    def count(n):
+        origins = np.asarray(_tile_origins(n, kernel, stride), np.int32)
+        i = jax.lax.iota(jnp.int32, n)
+        hit = (i[None, :] >= origins[:, None]) & (i[None, :] < origins[:, None] + kernel)
+        return jnp.sum(hit, axis=0).astype(jnp.float32)
+
+    return (count(H)[:, None] * count(W)[None, :])[:, :, None]

@@ -273,11 +273,65 @@ def convert_aggregator_state_dict(sd: dict, num_layers: int | None = None) -> di
     return agg
 
 
+def convert_fusion_aggregator_state_dict(sd: dict, num_layers: int | None = None) -> dict:
+    """FusionAggregatorVer31 state dict -> fusion aggregator pytree
+    (FusionAggregatorVer31.py:58-99 module names: conv1/conv2/fusion_corr,
+    CLIP_/DINO_decoder_guidance_projection, Fusiondecoder1/2)."""
+    sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    in_ckpt = 1 + max(
+        (int(k.split(".")[1]) for k in sd if k.startswith("layers.")), default=-1)
+    if num_layers is None:
+        num_layers = in_ckpt
+    elif in_ckpt and num_layers != in_ckpt:
+        raise ValueError(
+            f"checkpoint has {in_ckpt} aggregator layers, num_layers={num_layers}")
+    agg: dict = {
+        "conv1": {"w": _conv(sd["conv1.weight"]), "b": sd["conv1.bias"]},
+        "conv2": {"w": _conv(sd["conv2.weight"]), "b": sd["conv2.bias"]},
+        "fusion_corr": {"w": _conv(sd["fusion_corr.weight"]), "b": sd["fusion_corr.bias"]},
+        "decoder1": _up(sd, "Fusiondecoder1"),
+        "decoder2": _up(sd, "Fusiondecoder2"),
+        "head": {"w": _conv(sd["head.weight"]), "b": sd["head.bias"]},
+    }
+    if "guidance_projection.0.weight" in sd:
+        agg["guidance_proj"] = {
+            "w": _conv(sd["guidance_projection.0.weight"]),
+            "b": sd["guidance_projection.0.bias"],
+        }
+    if "text_guidance_projection.0.weight" in sd:
+        agg["text_guidance_proj"] = {
+            "w": _t(sd["text_guidance_projection.0.weight"]),
+            "b": sd["text_guidance_projection.0.bias"],
+        }
+    for key, name in (("clip_decoder_guidance_proj", "CLIP"),
+                      ("dino_decoder_guidance_proj", "DINO")):
+        agg[key] = [
+            {
+                "w": _conv(sd[f"{name}_decoder_guidance_projection.{i}.0.weight"]),
+                "b": sd[f"{name}_decoder_guidance_projection.{i}.0.bias"],
+            }
+            for i in range(2)
+        ]
+    agg["layers"] = [
+        {
+            "swin1": _swin_block(sd, f"layers.{i}.swin_block.block_1"),
+            "swin2": _swin_block(sd, f"layers.{i}.swin_block.block_2"),
+            "guidance_norm": _ln(sd, f"layers.{i}.swin_block.guidance_norm"),
+            "class": _class_layer(sd, f"layers.{i}.attention"),
+        }
+        for i in range(num_layers)
+    ]
+    return agg
+
+
 def convert_catseg_checkpoint(sd: dict, num_layers: int | None = None) -> dict:
     """Full released-checkpoint state dict -> CATSeg params pytree.
 
     ``sd``: flat dict of numpy arrays with the detectron2 key names (pass
     ``torch.load(path, map_location='cpu')['model']`` through numpy first).
+    Ver31 fusion checkpoints (dino_model./dino_down_sample/dino_decod_proj
+    meta-arch keys, implicit_fusion_Ver31.py:111,154-159) are detected and
+    converted to the fusion pytree layout.
     """
     sd = {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
     clip_sd = {
@@ -292,12 +346,28 @@ def convert_catseg_checkpoint(sd: dict, num_layers: int | None = None) -> dict:
     }
     # drop non-parameter buffers (swin attn_mask is recomputed statically)
     agg_sd = {k: v for k, v in agg_sd.items() if not k.endswith("attn_mask")}
+    agg_convert = (convert_fusion_aggregator_state_dict
+                   if "fusion_corr.weight" in agg_sd else convert_aggregator_state_dict)
     params = {
         "clip": convert_clip_state_dict(clip_sd),
-        "agg": convert_aggregator_state_dict(agg_sd, num_layers=num_layers),
+        "agg": agg_convert(agg_sd, num_layers=num_layers),
         "upsample1": {"w": _convt(sd["upsample1.weight"]), "b": sd["upsample1.bias"]},
         "upsample2": {"w": _convt(sd["upsample2.weight"]), "b": sd["upsample2.bias"]},
     }
+    if any(k.startswith("dino_model.") for k in sd):
+        # Ver31 fusion checkpoint: meta-arch DINO modules
+        # (implicit_fusion_Ver31.py:111,154-159)
+        from ..core.dino import convert_dino_state_dict
+
+        params["dino"] = convert_dino_state_dict(
+            {k[len("dino_model."):]: v for k, v in sd.items()
+             if k.startswith("dino_model.")})
+        params["dino_down"] = {"w": _conv(sd["dino_down_sample.weight"]),
+                               "b": sd["dino_down_sample.bias"]}
+        params["dino_proj1"] = {"w": _conv(sd["dino_decod_proj1.weight"]),
+                                "b": sd["dino_decod_proj1.bias"]}
+        params["dino_proj2"] = {"w": _convt(sd["dino_decod_proj2.weight"]),
+                                "b": sd["dino_decod_proj2.bias"]}
     if any(k.startswith("sam_encoder.") for k in sd):
         # Ver14 sam_refine checkpoint: meta-arch-level SAM modules
         # (implicit_fusion_Ver14.py:123-125 sam_encoder/sam_prompt_encoder/

@@ -249,6 +249,70 @@ def export_sam_prompt_decoder(pe: dict, dec: dict) -> dict:
     return sd
 
 
+def export_dino_state_dict(dino: dict) -> dict:
+    """dino pytree -> facebookresearch/dino ViT state dict names
+    (cat_seg/vision_transformer.py; inverse of core.dino.convert_dino_state_dict)."""
+    C = _np(dino["cls_token"]).shape[-1]
+    sd = {
+        "patch_embed.proj.weight": _conv(dino["patch_w"]),
+        "patch_embed.proj.bias": _np(dino["patch_b"]),
+        "cls_token": _np(dino["cls_token"]).reshape(1, 1, C),
+        "pos_embed": _np(dino["pos_embed"]).reshape(1, -1, C),
+    }
+    _ln(sd, "norm", dino["norm"])
+    blocks = dino["blocks"]
+    n = _np(blocks["qkv_b"]).shape[0]
+    for i in range(n):
+        b = _unstack(blocks, i)
+        p = f"blocks.{i}"
+        _ln(sd, p + ".norm1", b["ln_1"])
+        _ln(sd, p + ".norm2", b["ln_2"])
+        sd[p + ".attn.qkv.weight"] = _t(b["qkv_w"])
+        sd[p + ".attn.qkv.bias"] = _np(b["qkv_b"])
+        sd[p + ".attn.proj.weight"] = _t(b["proj_w"])
+        sd[p + ".attn.proj.bias"] = _np(b["proj_b"])
+        sd[p + ".mlp.fc1.weight"] = _t(b["fc1_w"])
+        sd[p + ".mlp.fc1.bias"] = _np(b["fc1_b"])
+        sd[p + ".mlp.fc2.weight"] = _t(b["fc2_w"])
+        sd[p + ".mlp.fc2.bias"] = _np(b["fc2_b"])
+    return sd
+
+
+def export_fusion_aggregator_state_dict(agg: dict) -> dict:
+    """Ver31 fusion-aggregator pytree -> FusionAggregatorVer31 module names
+    (FusionAggregatorVer31.py:58-99: conv1/conv2/fusion_corr, CLIP_/DINO_
+    decoder_guidance_projection, Fusiondecoder1/2)."""
+    sd: dict = {
+        "conv1.weight": _conv(agg["conv1"]["w"]),
+        "conv1.bias": _np(agg["conv1"]["b"]),
+        "conv2.weight": _conv(agg["conv2"]["w"]),
+        "conv2.bias": _np(agg["conv2"]["b"]),
+        "fusion_corr.weight": _conv(agg["fusion_corr"]["w"]),
+        "fusion_corr.bias": _np(agg["fusion_corr"]["b"]),
+        "head.weight": _conv(agg["head"]["w"]),
+        "head.bias": _np(agg["head"]["b"]),
+    }
+    if "guidance_proj" in agg:
+        sd["guidance_projection.0.weight"] = _conv(agg["guidance_proj"]["w"])
+        sd["guidance_projection.0.bias"] = _np(agg["guidance_proj"]["b"])
+    if "text_guidance_proj" in agg:
+        sd["text_guidance_projection.0.weight"] = _t(agg["text_guidance_proj"]["w"])
+        sd["text_guidance_projection.0.bias"] = _np(agg["text_guidance_proj"]["b"])
+    for name, key in (("CLIP", "clip_decoder_guidance_proj"),
+                      ("DINO", "dino_decoder_guidance_proj")):
+        for i, proj in enumerate(agg[key]):
+            sd[f"{name}_decoder_guidance_projection.{i}.0.weight"] = _conv(proj["w"])
+            sd[f"{name}_decoder_guidance_projection.{i}.0.bias"] = _np(proj["b"])
+    for i, layer in enumerate(agg["layers"]):
+        _swin_block(sd, f"layers.{i}.swin_block.block_1", layer["swin1"])
+        _swin_block(sd, f"layers.{i}.swin_block.block_2", layer["swin2"])
+        _ln(sd, f"layers.{i}.swin_block.guidance_norm", layer["guidance_norm"])
+        _class_layer(sd, f"layers.{i}.attention", layer["class"])
+    _up(sd, "Fusiondecoder1", agg["decoder1"])
+    _up(sd, "Fusiondecoder2", agg["decoder2"])
+    return sd
+
+
 def export_catseg_checkpoint(params: dict) -> dict:
     """CATSeg params pytree -> flat numpy state dict with the released
     checkpoints' detectron2 key names (the inverse of
@@ -257,14 +321,12 @@ def export_catseg_checkpoint(params: dict) -> dict:
     Ver14 sam_refine pytrees export their SAM modules under the meta-arch
     prefixes convert_catseg_checkpoint reads back (sam_encoder. /
     sam_prompt_encoder. / sam_decoder., implicit_fusion_Ver14.py:123-125).
-    The Ver31 DINO modules have no reference checkpoint format to target
-    (no released Ver31 weights) — refuse rather than silently drop them."""
-    unsupported = sorted(k for k in params
-                         if k in ("dino", "dino_down", "dino_proj1", "dino_proj2"))
-    if unsupported:
-        raise NotImplementedError(
-            "export_catseg_checkpoint: the Ver31 DINO fusion modules have no "
-            f"reference checkpoint key layout to export to: {unsupported}")
+    Ver31 fusion pytrees export the DINO modules under the fork's meta-arch
+    attribute names (dino_model. / dino_down_sample / dino_decod_proj{1,2},
+    implicit_fusion_Ver31.py:111,154-159) and the aggregator with the
+    FusionAggregatorVer31 module names — the layout a fork-trained Ver31
+    state dict would carry (no weights were ever released, but the format is
+    fully determined by the module tree)."""
     sd = {}
     if "sam" in params:
         for k, v in export_sam_state_dict(params["sam"]).items():
@@ -275,9 +337,20 @@ def export_catseg_checkpoint(params: dict) -> dict:
                 sd["sam_prompt_encoder." + k[len("prompt_encoder."):]] = v
             else:
                 sd["sam_decoder." + k[len("mask_decoder."):]] = v
+    if "dino" in params:
+        for k, v in export_dino_state_dict(params["dino"]).items():
+            sd["dino_model." + k] = v
+        sd["dino_down_sample.weight"] = _conv(params["dino_down"]["w"])
+        sd["dino_down_sample.bias"] = _np(params["dino_down"]["b"])
+        sd["dino_decod_proj1.weight"] = _conv(params["dino_proj1"]["w"])
+        sd["dino_decod_proj1.bias"] = _np(params["dino_proj1"]["b"])
+        sd["dino_decod_proj2.weight"] = _convt(params["dino_proj2"]["w"])
+        sd["dino_decod_proj2.bias"] = _np(params["dino_proj2"]["b"])
     for k, v in export_clip_state_dict(params["clip"]).items():
         sd["sem_seg_head.predictor.clip_model." + k] = v
-    for k, v in export_aggregator_state_dict(params["agg"]).items():
+    agg_export = (export_fusion_aggregator_state_dict
+                  if "fusion_corr" in params["agg"] else export_aggregator_state_dict)
+    for k, v in agg_export(params["agg"]).items():
         sd["sem_seg_head.predictor.transformer." + k] = v
     sd["upsample1.weight"] = _convt(params["upsample1"]["w"])
     sd["upsample1.bias"] = _np(params["upsample1"]["b"])

@@ -570,3 +570,219 @@ def sam_mask_decoder(sd, image_emb_bhwc, image_pe_hwc, sparse, dense_bhwc, heads
     if multimask:
         return masks[:, 1:], iou[:, 1:]
     return masks[:, :1], iou[:, :1]
+
+
+# ------------------------------------------------ training-step composition
+
+
+def catseg_train_loss_torch(
+    sd, images_bhw3, tokens, targets, *, clip_patch, clip_layers, clip_heads,
+    clip_text_layers, clip_text_heads, clip_pretrain_grid, guidance_layers,
+    heads, window, pad_len, num_layers, clip_resolution, pool=(2, 2),
+    attention_type="linear", ignore_value=255, act="quick_gelu",
+):
+    """The reference training branch as one differentiable composition:
+    text re-encode each step (cat_seg_predictor.py:209-210), whole-image
+    forward at train pooling, bilinear upsample to GT size, all-class BCE
+    with ignore-as-all-negative supervision (cat_seg_model.py:115-155,
+    189-203).  ``sd`` tensors may carry requires_grad — fuse_split_qkv uses
+    torch.cat, so autograd reaches the split q/v leaves (the finetune
+    policy's trainable CLIP subset)."""
+    clip_sd = fuse_split_qkv({k[len("sem_seg_head.predictor.clip_model."):]: v
+                              for k, v in sd.items()
+                              if k.startswith("sem_seg_head.predictor.clip_model.")})
+    agg_sd = {k[len("sem_seg_head.predictor.transformer."):]: v for k, v in sd.items()
+              if k.startswith("sem_seg_head.predictor.transformer.")}
+
+    emb = clip_text(clip_sd, tokens, layers=clip_text_layers, heads=clip_text_heads, act=act)
+    emb = emb / emb.norm(dim=-1, keepdim=True)
+    text_feats = emb[:, None, :]  # (T, 1, E)
+
+    img = images_bhw3.permute(0, 3, 1, 2).float()
+    mean = torch.tensor(CLIP_PIXEL_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor((68.5005327, 66.6321579, 70.3231630)).view(1, 3, 1, 1)
+    clip_in = F.interpolate((img - mean) / std,
+                            size=(clip_resolution, clip_resolution),
+                            mode="bilinear", align_corners=False)
+    feats, taps = clip_visual_dense(clip_sd, clip_in, patch=clip_patch,
+                                    layers=clip_layers, heads=clip_heads,
+                                    pretrain_grid=clip_pretrain_grid,
+                                    taps=guidance_layers, act=act)
+    B = feats.shape[0]
+    G = clip_resolution // clip_patch
+    res3 = feats[:, 1:, :].reshape(B, G, G, -1)
+    res4 = taps[0][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res4 = F.conv_transpose2d(res4, sd["upsample1.weight"], sd["upsample1.bias"], stride=2)
+    res5 = taps[1][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res5 = F.conv_transpose2d(res5, sd["upsample2.weight"], sd["upsample2.bias"], stride=4)
+
+    tf = text_feats.unsqueeze(0).expand(B, -1, -1, -1)
+    logits = aggregator_torch(agg_sd, res3, tf, (res3, res4, res5), heads=heads,
+                              window=window, pool=pool, pad_len=pad_len,
+                              num_layers=num_layers, attention_type=attention_type)
+
+    x = F.interpolate(logits, size=targets.shape[-2:], mode="bilinear", align_corners=False)
+    T = logits.shape[1]
+    valid = targets != ignore_value
+    onehot = F.one_hot(torch.where(valid, targets, torch.zeros_like(targets)), T)
+    onehot = (onehot * valid.unsqueeze(-1)).permute(0, 3, 1, 2).float()
+    return F.binary_cross_entropy_with_logits(x, onehot)
+
+
+# ---------------------------------------------- Ver31 dual-encoder fusion
+
+
+def _fusion_up_t(sd, p, x, clip_g, dino_g):
+    """FusionUP (FusionAggregator.py:757-772): ConvT up then concat BOTH
+    guidance pyramids into the DoubleConv."""
+    x = F.conv_transpose2d(x, sd[p + ".up.weight"], sd[p + ".up.bias"], stride=2)
+    if clip_g is not None:
+        T = x.shape[0] // clip_g.shape[0]
+
+        def rep(g):
+            return g.unsqueeze(1).expand(-1, T, -1, -1, -1).reshape(-1, *g.shape[1:])
+
+        x = torch.cat([x, rep(clip_g), rep(dino_g)], dim=1)
+    return _double_conv_t(sd, p + ".conv", x)
+
+
+def fusion_ver31_forward_torch(
+    sd, images_bhw3, text_feats, *, clip_patch, clip_layers, clip_heads,
+    clip_pretrain_grid, dino_patch, dino_layers, dino_heads,
+    dino_pretrain_grid, guidance_layers, dino_guidance_blocks, heads, window,
+    pad_len, num_layers, clip_resolution=768, dino_resolution=384,
+    pool=(1, 1), attention_type="linear", act="quick_gelu",
+):
+    """ImplicitFusionCATSegVer31 whole-image forward oracle
+    (implicit_fusion_Ver31.py:226-330 + FusionAggregatorVer31.py:199-273).
+
+    images: (B, H, W, 3) raw RGB at any size (resized to clip_resolution²);
+    text_feats: (T, P, E).  Returns (B, T, 96, 96) logits (with -100 in
+    dropped classes when T > pad_len; note the reference's SEPARATE
+    classes/classes_dino gathers, FusionAggregatorVer31.py:215-219)."""
+    clip_sd = fuse_split_qkv({k[len("sem_seg_head.predictor.clip_model."):]: v
+                              for k, v in sd.items()
+                              if k.startswith("sem_seg_head.predictor.clip_model.")})
+    agg = {k[len("sem_seg_head.predictor.transformer."):]: v for k, v in sd.items()
+           if k.startswith("sem_seg_head.predictor.transformer.")}
+    dino_sd = {k[len("dino_model."):]: v for k, v in sd.items()
+               if k.startswith("dino_model.")}
+
+    img = images_bhw3.permute(0, 3, 1, 2).float()
+    mean = torch.tensor(CLIP_PIXEL_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor((68.5005327, 66.6321579, 70.3231630)).view(1, 3, 1, 1)
+    clip_in = (img - mean) / std
+    if clip_in.shape[-2:] != (clip_resolution, clip_resolution):
+        clip_in = F.interpolate(clip_in, size=(clip_resolution, clip_resolution),
+                                mode="bilinear", align_corners=False)
+    # Ver31 sliding branch: DINO input = the CLIP-normalized image resized
+    # (implicit_fusion_Ver31.py:260)
+    dino_in = F.interpolate(clip_in, size=(dino_resolution, dino_resolution),
+                            mode="bilinear", align_corners=False)
+
+    feats, taps = clip_visual_dense(clip_sd, clip_in, patch=clip_patch,
+                                    layers=clip_layers, heads=clip_heads,
+                                    pretrain_grid=clip_pretrain_grid,
+                                    taps=guidance_layers, act=act)
+    B = feats.shape[0]
+    G = clip_resolution // clip_patch
+    res3 = feats[:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res4 = taps[0][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res4 = F.conv_transpose2d(res4, sd["upsample1.weight"], sd["upsample1.bias"], stride=2)
+    res5 = taps[1][:, 1:, :].reshape(B, G, G, -1).permute(0, 3, 1, 2)
+    res5 = F.conv_transpose2d(res5, sd["upsample2.weight"], sd["upsample2.bias"], stride=4)
+
+    dfeat = dino_intermediate_layers(dino_sd, dino_in, patch=dino_patch,
+                                     layers=dino_layers, heads=dino_heads,
+                                     pretrain_grid=dino_pretrain_grid, n=dino_layers)
+    Gd = dino_resolution // dino_patch
+    d_last = dfeat[-1][:, 1:, :].reshape(B, Gd, Gd, -1).permute(0, 3, 1, 2)
+    dino_down = F.conv2d(d_last, sd["dino_down_sample.weight"],
+                         sd["dino_down_sample.bias"], stride=Gd // G)
+    dL4 = dfeat[dino_guidance_blocks[0]][:, 1:, :].reshape(B, Gd, Gd, -1).permute(0, 3, 1, 2)
+    dL8 = dfeat[dino_guidance_blocks[1]][:, 1:, :].reshape(B, Gd, Gd, -1).permute(0, 3, 1, 2)
+    dino_g1 = F.conv2d(dL4, sd["dino_decod_proj1.weight"], sd["dino_decod_proj1.bias"])
+    dino_g2 = F.conv_transpose2d(dL8, sd["dino_decod_proj2.weight"],
+                                 sd["dino_decod_proj2.bias"], stride=2)
+
+    # --- FusionAggregatorVer31.forward (bpthw corr layout) ---
+    tf = text_feats.unsqueeze(0).expand(B, -1, -1, -1)
+    T = tf.shape[1]
+    imn = F.normalize(res3, dim=1)
+    dnn = F.normalize(dino_down, dim=1)
+    txn = F.normalize(tf, dim=-1)
+    corr = torch.einsum("bchw,btpc->bpthw", imn, txn)
+    dino_corr = torch.einsum("bchw,btpc->bpthw", dnn, txn)
+
+    classes = None
+    if pad_len > 0 and T > pad_len:
+        avg = corr.permute(0, 2, 1, 3, 4).flatten(-3).max(dim=-1)[0]
+        avg_d = dino_corr.permute(0, 2, 1, 3, 4).flatten(-3).max(dim=-1)[0]
+        classes = avg.topk(pad_len, dim=-1).indices
+        classes_dino = avg_d.topk(pad_len, dim=-1).indices
+        clip_txt = torch.gather(txn, 1, classes[..., None, None].expand(
+            -1, -1, txn.size(-2), txn.size(-1)))
+        dino_txt = torch.gather(txn, 1, classes_dino[..., None, None].expand(
+            -1, -1, txn.size(-2), txn.size(-1)))
+        corr = torch.einsum("bchw,btpc->bpthw", imn, clip_txt)
+        dino_corr = torch.einsum("bchw,btpc->bpthw", dnn, dino_txt)
+        tf = clip_txt  # text_feats continues as the CLIP-kept subset
+
+    Tc = corr.shape[2]
+    H = W = G
+
+    def embed(c, conv):
+        c = c.permute(0, 2, 1, 3, 4).reshape(B * Tc, -1, H, W)  # (B T) P H W
+        return F.conv2d(c, agg[conv + ".weight"], agg[conv + ".bias"], padding=3)
+
+    clip_embed = torch.sigmoid(embed(corr, "conv1"))
+    dino_embed = torch.sigmoid(embed(dino_corr, "conv2"))
+    fused = F.conv2d(torch.cat([clip_embed, dino_embed], dim=1),
+                     agg["fusion_corr.weight"], agg["fusion_corr.bias"], padding=3)
+    fused = torch.sigmoid(fused) + clip_embed  # residual (Ver31:237)
+    Ch = fused.shape[1]
+    x = fused.reshape(B, Tc, Ch, H, W).permute(0, 1, 3, 4, 2)  # (B,T,H,W,C)
+
+    proj_guid = None
+    if "guidance_projection.0.weight" in agg:
+        g = F.conv2d(res3, agg["guidance_projection.0.weight"],
+                     agg["guidance_projection.0.bias"], padding=1)
+        proj_guid = F.relu(g).permute(0, 2, 3, 1)
+    clip_dec = [F.relu(F.conv2d(g, agg[f"CLIP_decoder_guidance_projection.{i}.0.weight"],
+                                agg[f"CLIP_decoder_guidance_projection.{i}.0.bias"],
+                                padding=1))
+                for i, g in enumerate((res4, res5))]
+    dino_dec = [F.relu(F.conv2d(g, agg[f"DINO_decoder_guidance_projection.{i}.0.weight"],
+                                agg[f"DINO_decoder_guidance_projection.{i}.0.bias"],
+                                padding=1))
+                for i, g in enumerate((dino_g1, dino_g2))]
+    text_guid = None
+    if "text_guidance_projection.0.weight" in agg:
+        t = tf.mean(dim=-2)
+        t = t / t.norm(dim=-1, keepdim=True)
+        text_guid = F.relu(_l(agg, "text_guidance_projection.0", t))
+
+    for i in range(num_layers):
+        BT = B * Tc
+        xs = x.reshape(BT, H, W, Ch)
+        guid = None
+        if proj_guid is not None:
+            gn = _ln(agg, f"layers.{i}.swin_block.guidance_norm", proj_guid)
+            guid = gn.unsqueeze(1).expand(B, Tc, H, W, -1).reshape(BT, H, W, -1)
+        xs = _swin_block_t(agg, f"layers.{i}.swin_block.block_1", xs, guid, heads, window, 0)
+        xs = _swin_block_t(agg, f"layers.{i}.swin_block.block_2", xs, guid, heads, window, window // 2)
+        x = xs.reshape(B, Tc, H, W, Ch)
+        x = _class_layer_t(agg, f"layers.{i}.attention", x, text_guid, heads, pool,
+                           pad_len, attention_type)
+
+    xs = x.reshape(B * Tc, H, W, Ch).permute(0, 3, 1, 2)
+    xs = _fusion_up_t(agg, "Fusiondecoder1", xs, clip_dec[0], dino_dec[0])
+    xs = _fusion_up_t(agg, "Fusiondecoder2", xs, clip_dec[1], dino_dec[1])
+    logit = F.conv2d(xs, agg["head.weight"], agg["head.bias"], padding=1)
+    Ho, Wo = logit.shape[-2:]
+    logit = logit.reshape(B, Tc, Ho, Wo)
+    if classes is not None:
+        out = torch.full((B, T, Ho, Wo), -100.0)
+        out.scatter_(1, classes[..., None, None].expand(-1, -1, Ho, Wo), logit)
+        logit = out
+    return logit
