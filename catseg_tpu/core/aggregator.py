@@ -188,11 +188,15 @@ def spatial_aggregation(
     if appearance_guidance is not None:
         guid = layer_norm(appearance_guidance, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
 
+    from ..parallel.mesh import pallas_allowed
+
     B, T, H, W, C = x.shape
     win = cfg.window_size
-    if C % 128 == 0 and H % win == 0 and W % win == 0 and C % cfg.num_heads == 0:
+    if (C % 128 == 0 and H % win == 0 and W % win == 0 and C % cfg.num_heads == 0
+            and pallas_allowed()):
         # whole-pair fused kernel: one VMEM-resident (H, W, C) slab per
         # (image, class), both blocks end to end — see kernels/swin_block.py
+        # (skipped under a mesh: a pallas_call cannot SPMD-partition)
         from ..kernels.swin_block import fused_swin_pair
 
         def pack(bp):
@@ -305,12 +309,15 @@ def class_aggregation(
 
     import os
 
+    from ..parallel.mesh import pallas_allowed
+
     if ((ph, pw) == (1, 1) and cfg.attention_type == "linear" and C % 128 == 0
-            and C % cfg.num_heads == 0
+            and C % cfg.num_heads == 0 and pallas_allowed()
             and not os.environ.get("CATSEG_NO_PALLAS_CLASS")):
         # eval path: pooling is the identity -> whole layer in one fused
         # kernel on position-major data; the learnable pad rows enter as
         # precomputed constant KV/Ksum terms (see kernels/class_layer.py)
+        # (skipped under a mesh: a pallas_call cannot SPMD-partition)
         from ..kernels.class_layer import fused_class_layer, pad_contributions
 
         Tp = max(cfg.pad_len, T) if cfg.pad_len > 0 else T

@@ -64,7 +64,9 @@ def fused_layer_norm(x, g, b, eps: float = 1e-5):
     backend = jax.default_backend()
     M = x2d.shape[0]
     # the kernel wants lane-aligned channels and enough rows to tile
-    if C % 128 == 0 and M >= _TILE and backend in ("tpu", "cpu"):
+    from ..parallel.mesh import pallas_allowed
+
+    if C % 128 == 0 and M >= _TILE and backend in ("tpu", "cpu") and pallas_allowed():
         out = _pallas_ln(x2d, g, b, eps, interpret=backend == "cpu")
         return out.reshape(shape)
     return _reference_ln(x, g, b, eps)

@@ -101,7 +101,9 @@ def fused_linear_attention(q, k, v, heads: int):
     """elu+1 kernelized attention over the class axis; q/k/v (N, S, C)."""
     N, S, C = q.shape
     backend = jax.default_backend()
-    if C % 128 == 0 and S % 8 == 0 and backend in ("tpu", "cpu"):
+    from ..parallel.mesh import pallas_allowed
+
+    if C % 128 == 0 and S % 8 == 0 and backend in ("tpu", "cpu") and pallas_allowed():
         return _pallas(q, k, v, heads, 1e-6, interpret=backend == "cpu")
     return _reference(q, k, v, heads)
 

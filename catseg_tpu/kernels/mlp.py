@@ -118,8 +118,10 @@ def fused_mlp(x, w1, b1, w2, b2, act: str = "gelu"):
     M = x2d.shape[0]
     backend = jax.default_backend()
     # weights must fit VMEM comfortably alongside the tiles
+    from ..parallel.mesh import pallas_allowed
+
     if (C % 128 == 0 and H % 128 == 0 and M >= _TILE and C * H <= 1 << 20
-            and backend in ("tpu", "cpu")):
+            and backend in ("tpu", "cpu") and pallas_allowed()):
         out = _pallas(x2d, w1, b1, w2, b2, act, interpret=backend == "cpu")
         return out.reshape(x.shape[:-1] + (w2.shape[1],))
     return _reference(x, w1, b1, w2, b2, act)

@@ -100,10 +100,12 @@ def fused_window_attention(q, k, v, mask, heads: int, scale: float):
     image; the mask broadcasts across images).  mask: (nW, N, N) additive
     fp32 (zeros when unshifted).  Returns (Bw, N, C) in q.dtype.
     """
+    from ..parallel.mesh import pallas_allowed
+
     backend = jax.default_backend()
-    if backend == "tpu":
+    if backend == "tpu" and pallas_allowed():
         return _pallas_attention(q, k, v, mask, heads, scale, interpret=False)
-    if backend == "cpu":
+    if backend == "cpu" and pallas_allowed():
         # interpret mode keeps the kernel logic covered by the CPU test suite
         return _pallas_attention(q, k, v, mask, heads, scale, interpret=True)
     return _attention_reference(q, k, v, mask, heads, scale)

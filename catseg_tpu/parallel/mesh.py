@@ -79,3 +79,16 @@ def constrain_class_axis(x, mesh: Mesh | None = None):
         return x  # unshardable T (e.g. truncated odd pad_len); stay on data axis
     spec = P("data", "class") if x.ndim >= 2 else P("data")
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def pallas_allowed() -> bool:
+    """True when opaque Pallas custom calls are safe to emit.
+
+    A pallas_call cannot be SPMD-partitioned by XLA: under an active mesh
+    the partitioner's handling of the opaque call composes incorrectly with
+    sharded operands (observed as deterministic O(1) divergence of the
+    sharded aggregator at flagship dims — tests/test_sharded_flagship.py),
+    so every kernel dispatch falls back to its plain-XLA formulation, which
+    the partitioner handles with ordinary collectives.  Single-device jit
+    (mesh absent) keeps the fused kernels."""
+    return active_mesh() is None
