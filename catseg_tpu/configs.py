@@ -216,7 +216,12 @@ def fusion_ver31(**kw) -> CATSegConfig:
         clip=VITB32,
         guidance_layers=(3, 7),
         guidance_proj_dim=768,
+        # the ablation script zeroes BOTH text-guidance dims
+        # (ablation_train_eval31.sh: TEXT_GUIDANCE_DIM 0 /
+        # TEXT_GUIDANCE_PROJ_DIM 0), so the class q/k are plain
+        # Linear(hidden, hidden) with no dead guidance rows
         text_guidance_dim=0,
+        text_guidance_proj_dim=0,
         appearance_guidance_dim=512,
         fusion=FusionConfig(),
     )

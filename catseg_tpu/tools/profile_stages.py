@@ -89,8 +89,12 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
 
     records = []
 
-    def bench(name, fn, *fargs, n=reps):
-        jfn = jax.jit(fn)
+    def bench(name, fn, *fargs, n=reps, prejit=False):
+        # prejit: fn is already a jitted callable taking params as an
+        # ARGUMENT — re-wrapping a params-closure in jax.jit would inline
+        # every weight as an HLO literal (a ~300 MB program the tunnel's
+        # remote-compile endpoint rejects with HTTP 413)
+        jfn = fn if prejit else jax.jit(fn)
         out = jfn(*fargs)
         sync(out)  # compile + drain
         t0 = time.time()
@@ -98,7 +102,18 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
             out = jfn(*fargs)
         sync(out)
         ms = (time.time() - t0) / n * 1000
-        flops, nbytes = _cost(fn, *fargs)
+        if prejit:
+            flops, nbytes = None, None
+            try:
+                cost = jfn.lower(*fargs).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0)) or None
+                nbytes = float(cost.get("bytes accessed", 0.0)) or None
+            except Exception:
+                pass
+        else:
+            flops, nbytes = _cost(fn, *fargs)
         rec = {"stage": name, "ms": round(ms, 2)}
         if flops is not None or nbytes is not None:
             t_flops = (flops or 0.0) / (peak_tflops * 1e12)
@@ -197,11 +212,9 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
 
     out_hws = jnp.asarray(np.array([[512, 683]] * batch, np.int32))
 
-    def full(canvases, hws):
-        return pl.sliding_window_preds_from_canvas_batch(
-            params, canvases, hws, out_hws, text, cfg, (768, 768))
-
-    bench("end_to_end", full, canvases, hws, n=max(reps // 2, 4))
+    bench("end_to_end", pl.sliding_window_preds_from_canvas_batch,
+          params, canvases, hws, out_hws, text, cfg, (768, 768),
+          n=max(reps // 2, 4), prejit=True)
     return records
 
 
