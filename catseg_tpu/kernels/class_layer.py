@@ -32,6 +32,7 @@ the plain-XLA reference off-TPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,15 +57,18 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
             ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
             ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
             o_ref, *, heads: int, Tp: int, has_guid: bool):
-    T, W, C = x_ref.shape[1], x_ref.shape[3], x_ref.shape[4]
+    T, R, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
     D = C // heads
     bd = _blockdiag(C, D, jnp.float32)
 
     # position-major: one relayout in and one out replaces the W strided
     # (T, 3C) position slices + stack of the per-position form, and lets the
     # whole attention run as W-batched dots (the single batch dim Mosaic
-    # allows) instead of an unrolled Python loop of M<=T tiny matmuls
-    x3 = x_ref[0, :, 0].transpose((1, 0, 2))  # (W, T, C)
+    # allows) instead of an unrolled Python loop of M<=T tiny matmuls.
+    # R image rows per grid step (CATSEG_CLASS_ROWS) batch the dots further:
+    # fewer, larger grid steps amortize per-step overhead.
+    W = R * W  # R rows of W positions behave exactly like one wider row
+    x3 = x_ref[0].transpose((1, 2, 0, 3)).reshape(W, T, C)  # (R*W, T, C)
     x = x3.reshape(W * T, C)
     ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
     x32 = x.astype(jnp.float32)
@@ -106,7 +110,8 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
     h = jnp.maximum(h, 0.0).astype(x.dtype)
     o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
-    o_ref[0, :, 0] = (seq + o.astype(x.dtype)).reshape(W, T, C).transpose((1, 0, 2))
+    out = (seq + o.astype(x.dtype)).reshape(R, W // R, T, C)
+    o_ref[0] = out.transpose((2, 0, 1, 3))
 
 
 def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
@@ -465,7 +470,14 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
         v2(p["mlp1_w"]), v2(p["mlp1_b"], jnp.float32),
         v2(p["mlp2_w"]), v2(p["mlp2_b"], jnp.float32),
     ]
-    x_spec = pl.BlockSpec((1, T, 1, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
+    # rows per grid step (kept at 1: measured 14.6/16.2/~ ms for R=1/2 at
+    # eval shapes — the kernel is relayout-bound, not step-count-bound, and
+    # the (T,R,W,C)->(R*W,T,C) transpose grows with R; VMEM also scales
+    # with R through the fp32 qkv/MLP intermediates)
+    R = int(os.environ.get("CATSEG_CLASS_ROWS", "1"))
+    while H % R:
+        R -= 1
+    x_spec = pl.BlockSpec((1, T, R, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, T, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, h: (0,) * a.ndim, memory_space=pltpu.VMEM)
     specs = [x_spec, g_spec, g_spec] + [const(a) for a in operands[3:]]
@@ -473,7 +485,7 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
     return pl.pallas_call(
         functools.partial(_kernel, heads=heads, Tp=Tp, has_guid=has_guid),
         out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), dt),
-        grid=(B, H),
+        grid=(B, H // R),
         in_specs=specs,
         out_specs=x_spec,
         interpret=interpret,

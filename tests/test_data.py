@@ -165,13 +165,25 @@ def test_train_sample_long_side_cap(tmp_path):
     assert inspect.signature(train_sample).parameters["max_size"].default == 1333
 
 
-def test_export_refuses_dino_modules():
-    """export_catseg_checkpoint must fail loudly on Ver31 DINO pytrees (no
-    reference checkpoint layout exists) instead of silently dropping modules
-    (a reference-side load would sit at random init with no error)."""
-    import pytest
+def test_export_emits_ver31_dino_keys():
+    """Ver31 fusion pytrees export under the fork's meta-arch attribute
+    names (implicit_fusion_Ver31.py:111,154-159) — a silent drop would leave
+    a reference-side load at random init with no error.  (Full round-trip +
+    oracle parity: tests/test_fullscale_parity_more.py::test_fusion_ver31_
+    fullscale.)"""
+    import jax
 
+    from catseg_tpu.configs import fusion_ver31
+    from catseg_tpu.core.fusion import init_fusion_params
     from catseg_tpu.weights.export import export_catseg_checkpoint
 
-    with pytest.raises(NotImplementedError, match="dino"):
-        export_catseg_checkpoint({"clip": {}, "agg": {}, "dino": {}, "dino_down": {}})
+    cfg = fusion_ver31(num_layers=1)
+    sd = export_catseg_checkpoint(init_fusion_params(jax.random.PRNGKey(0), cfg))
+    for family in ("dino_model.blocks.0.attn.qkv.weight", "dino_down_sample.weight",
+                   "dino_decod_proj1.weight", "dino_decod_proj2.weight"):
+        assert family in sd, family
+    agg = "sem_seg_head.predictor.transformer."
+    for key in ("conv2.weight", "fusion_corr.weight", "Fusiondecoder1.up.weight",
+                "CLIP_decoder_guidance_projection.0.0.weight",
+                "DINO_decoder_guidance_projection.1.0.weight"):
+        assert agg + key in sd, key
