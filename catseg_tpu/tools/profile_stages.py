@@ -154,21 +154,24 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
     img_feats, guidance = jax.jit(stage_clip)(params, tiles)
     sync(img_feats)
     textB = jnp.broadcast_to(text[None], (B,) + text.shape).astype(dtype)
+    # weights ride as ARGUMENTS everywhere below: a weights-closure gets its
+    # constants inlined/hashed per compile (slow lookups, and the re-jitted
+    # full pipeline even drew the tunnel's HTTP 413 size limit)
     bench(f"clip_guidance ({B} tiles)", stage_clip, params, tiles)
     corr = bench("correlation", correlation, img_feats, textB)
     agg = params["agg"]
-    x0 = bench("corr_embed 7x7", lambda c: corr_embed(c, agg), corr)
+    x0 = bench("corr_embed 7x7", lambda a, c: corr_embed(c, a), agg, corr)
 
-    def stage_guid_proj(guidance):
+    def stage_guid_proj(agg, guidance):
         pg = jax.nn.relu(conv2d(guidance[0], agg["guidance_proj"]["w"],
                                 agg["guidance_proj"]["b"], padding=1))
         dg = [jax.nn.relu(conv2d(g, p["w"], p["b"], padding=1))
               for p, g in zip(agg["decoder_guidance_proj"], guidance[1:])]
         return pg, dg
 
-    pg, dg = jax.jit(stage_guid_proj)(guidance)
+    pg, dg = jax.jit(stage_guid_proj)(agg, guidance)
     sync(pg)
-    bench("guidance projections", stage_guid_proj, guidance)
+    bench("guidance projections", stage_guid_proj, agg, guidance)
 
     tf = jnp.mean(textB.astype(jnp.float32), axis=-2)
     tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
@@ -176,17 +179,17 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
                                     agg["text_guidance_proj"]["b"]))
 
     x1 = bench("swin pair (one layer)",
-               lambda x, pg: spatial_aggregation(x, pg, agg["layers"][0], cfg),
-               x0, pg)
+               lambda l, x, pg: spatial_aggregation(x, pg, l, cfg),
+               agg["layers"][0], x0, pg)
     x2 = bench("class layer (one)",
-               lambda x, tg: class_aggregation(x, tg, agg["layers"][0], cfg),
-               x1, text_guid)
+               lambda l, x, tg: class_aggregation(x, tg, l, cfg),
+               agg["layers"][0], x1, text_guid)
     bench("decoder (fused)",
-          lambda x, d0, d1: conv_decoder(x, [d0, d1], agg, use_fused=True),
-          x2, dg[0], dg[1])
+          lambda a, x, d0, d1: conv_decoder(x, [d0, d1], a, use_fused=True),
+          agg, x2, dg[0], dg[1])
     bench("aggregator_forward (all)",
-          lambda f, t, g0, g1, g2: aggregator_forward(agg, f, t, (g0, g1, g2), cfg),
-          img_feats, textB, *guidance)
+          lambda a, f, t, g0, g1, g2: aggregator_forward(a, f, t, (g0, g1, g2), cfg),
+          agg, img_feats, textB, *guidance)
 
     def stage_tail(logits):
         lg = logits.transpose(0, 2, 3, 1)
