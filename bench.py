@@ -299,11 +299,11 @@ def _secondary_registry():
         "train_step_vitb384": lambda: measure_train(vitb384(), batch=(4, 8), budget_s=10.0),
         "stages_vitb384_T150": lambda: measure_stages(
             eval_preset(vitb384()), T=150, batch=2, reps=6),
-        "vitb384_T150_batch1": lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=12.0),
         "vitl336_T150": lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=12.0),
         "vitb384_T847_topk": lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=12.0),
         "vith336_T150": lambda: measure_eval(
             eval_preset(vith336()), T=150, budget_s=12.0, batch=1, n_per_round=4),
+        "vitb384_T150_batch1": lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=12.0),
         "vitb384_T150_noise_input": lambda: measure_eval(
             eval_preset(vitb384()), T=150, budget_s=12.0, batch=2, n_per_round=8, noise=True),
     }
