@@ -95,7 +95,8 @@ def measure_eval(cfg, T, budget_s, min_rounds=2, n_per_round=16, input_canvas=(1
     from catseg_tpu.infer.pipeline import (
         Predictor, resize_argmax_dynamic)
 
-    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    # jitted init: eager init issues one ~0.5 s tunnel RPC per parameter
+    params = jax.jit(lambda r: catseg.init_catseg_params(r, cfg))(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
     text /= np.linalg.norm(text, axis=-1, keepdims=True)
