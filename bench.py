@@ -229,22 +229,27 @@ def measure_train(cfg, batch, budget_s=30.0, _shared_state={}):
     targets = jnp.asarray(rng.randint(0, cfg.num_classes, (batch, cfg.crop_size, cfg.crop_size)).astype(np.int32))
 
     _log("compiling train step")
+    # ONE AOT compile serves both the cost analysis and execution: calling
+    # the jitted step after lower().compile() would compile a second time
+    # (the AOT path does not populate the jit dispatch cache — that double
+    # compile cost round 3's bench ~115 s of its wall budget)
     flops = None
+    compiled = step.lower(state.params, state.opt_state, images, targets).compile()
     try:
-        compiled = step.lower(state.params, state.opt_state, images, targets).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         pass
+    step = compiled
 
     # the step donates its state args; give it copies so the shared init
     # survives for the next batch-size measurement
     params = jax.tree.map(lambda a: a + 0, state.params)
     opt_state = jax.tree.map(
         lambda a: a + 0 if hasattr(a, "dtype") else a, state.opt_state)
-    params, opt_state, loss = step(params, opt_state, images, targets)  # compile
+    params, opt_state, loss = step(params, opt_state, images, targets)  # warm
     _sync(loss)
     _log("train step compiled; measuring")
     best_ms = float("inf")
@@ -279,13 +284,22 @@ def _setup_compile_cache():
         pass
 
 
-def measure_stages(cfg, T, batch, reps):
-    """Per-stage ms + XLA-cost roofline records (verdict r2 item 2)."""
+def measure_stages(cfg, T, batch, reps, stream_name=None):
+    """Per-stage ms + XLA-cost roofline records (verdict r2 item 2).
+
+    ``stream_name``: when set, every completed stage re-emits the secondary's
+    JSON line with the records so far — a wall-deadline kill mid-stages keeps
+    every measured value (the parent keeps the last line per name)."""
     from catseg_tpu.tools.profile_stages import collect_stage_records
 
+    on_record = None
+    if stream_name:
+        on_record = lambda recs: print(
+            json.dumps({"name": stream_name, "result": list(recs)}), flush=True)
     return collect_stage_records(cfg, T, batch, reps=reps,
                                  peak_tflops=PEAK_TFLOPS_BF16,
-                                 peak_gbps=PEAK_HBM_GBPS, log=_log)
+                                 peak_gbps=PEAK_HBM_GBPS, log=_log,
+                                 on_record=on_record)
 
 
 def _secondary_registry():
@@ -299,7 +313,8 @@ def _secondary_registry():
     return {
         "train_step_vitb384": lambda: measure_train(vitb384(), batch=(4, 8), budget_s=10.0),
         "stages_vitb384_T150": lambda: measure_stages(
-            eval_preset(vitb384()), T=150, batch=2, reps=6),
+            eval_preset(vitb384()), T=150, batch=2, reps=6,
+            stream_name="stages_vitb384_T150"),
         "vitl336_T150": lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=12.0),
         "vitb384_T847_topk": lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=12.0),
         "vith336_T150": lambda: measure_eval(
@@ -445,6 +460,11 @@ def main():
                 "unit": "images/sec",
                 "vs_baseline": round(primary["best"] / REFERENCE_4X3090_IMS, 3),
                 "median": primary["median"],
+                # raw (un-drain-corrected) rates: the cross-round-comparable
+                # series (the correction methodology changed across rounds)
+                "best_raw": primary["best_raw"],
+                "median_raw": primary["median_raw"],
+                "drain_s": primary["drain_s"],
                 "rounds": primary["rounds"],
                 "batch": primary["batch"],
                 "baseline_note": "4x3090 estimate: ~1.1 TFLOP/im / (35.6 TF32 TFLOPs x ~22% util) ~= 2 im/s/GPU",

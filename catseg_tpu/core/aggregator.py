@@ -188,15 +188,17 @@ def spatial_aggregation(
     if appearance_guidance is not None:
         guid = layer_norm(appearance_guidance, layer["guidance_norm"]["g"], layer["guidance_norm"]["b"])
 
-    from ..parallel.mesh import pallas_allowed
+    from ..parallel.mesh import mesh_divides, shard_kernel
 
     B, T, H, W, C = x.shape
     win = cfg.window_size
     if (C % 128 == 0 and H % win == 0 and W % win == 0 and C % cfg.num_heads == 0
-            and pallas_allowed()):
+            and mesh_divides(B, T)):
         # whole-pair fused kernel: one VMEM-resident (H, W, C) slab per
-        # (image, class), both blocks end to end — see kernels/swin_block.py
-        # (skipped under a mesh: a pallas_call cannot SPMD-partition)
+        # (image, class), both blocks end to end — see kernels/swin_block.py.
+        # Under a mesh the dispatch enters a shard_map manual region (the
+        # kernel is per-(image, class) local, so each device runs it on its
+        # (B/data, T/class) slab unchanged — GSPMD never sees the opaque call)
         from ..kernels.swin_block import fused_swin_pair
 
         def pack(bp):
@@ -218,8 +220,14 @@ def spatial_aggregation(
                 _linear(guid, b2["q_w"][C:]), _linear(guid, b2["k_w"][C:]),
             )
         mask = jnp.asarray(_shift_mask(H, W, win, win // 2))
-        return fused_swin_pair(x, guid4, pack(layer["swin1"]), pack(layer["swin2"]),
-                               mask, cfg.num_heads, win)
+        from jax.sharding import PartitionSpec as P
+
+        return shard_kernel(
+            lambda x, g4, p1, p2, m: fused_swin_pair(x, g4, p1, p2, m,
+                                                     cfg.num_heads, win),
+            x, guid4, pack(layer["swin1"]), pack(layer["swin2"]), mask,
+            specs=(P("data", "class"), P("data"), P(), P(), P()),
+            out_spec=P("data", "class"))
 
     x = _swin_block(x, guid, layer["swin1"], cfg, shift=0)
     x = _swin_block(x, guid, layer["swin2"], cfg, shift=cfg.window_size // 2)
@@ -309,15 +317,20 @@ def class_aggregation(
 
     import os
 
-    from ..parallel.mesh import pallas_allowed
+    from ..parallel.mesh import mesh_divides, shard_kernel
 
     if ((ph, pw) == (1, 1) and cfg.attention_type == "linear" and C % 128 == 0
-            and C % cfg.num_heads == 0 and pallas_allowed()
+            and C % cfg.num_heads == 0 and mesh_divides(B)
             and not os.environ.get("CATSEG_NO_PALLAS_CLASS")):
         # eval path: pooling is the identity -> whole layer in one fused
         # kernel on position-major data; the learnable pad rows enter as
-        # precomputed constant KV/Ksum terms (see kernels/class_layer.py)
-        # (skipped under a mesh: a pallas_call cannot SPMD-partition)
+        # precomputed constant KV/Ksum terms (see kernels/class_layer.py).
+        # Under a mesh the dispatch enters a shard_map manual region with the
+        # class axis GATHERED (in_spec P("data")): the attention reduces over
+        # T, so each device runs the kernel on the full class list of its
+        # local images — the per-layer all-gather of the (B/data, T, H, W, C)
+        # slab costs far less than losing the fused path (ICI-bandwidth ~ms
+        # vs the ~2x plain-XLA stage regression measured in round 3)
         from ..kernels.class_layer import fused_class_layer, pad_contributions
 
         Tp = max(cfg.pad_len, T) if cfg.pad_len > 0 else T
@@ -344,7 +357,15 @@ def class_aggregation(
         else:
             pad_kv = jnp.zeros((C, C), jnp.float32)
             pad_ksum = jnp.zeros((1, C), jnp.float32)
-        return x + fused_class_layer(x, qg, kg, pad_kv, pad_ksum, p, cfg.num_heads, Tp)
+        from jax.sharding import PartitionSpec as P
+
+        out = shard_kernel(
+            lambda x, qg, kg, pkv, pks, p: fused_class_layer(
+                x, qg, kg, pkv, pks, p, cfg.num_heads, Tp),
+            x, qg, kg, pad_kv, pad_ksum, p,
+            specs=(P("data"), P("data"), P("data"), P(), P(), P()),
+            out_spec=P("data"))
+        return x + out
 
     xp = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))
     Hp, Wp = xp.shape[1], xp.shape[2]
@@ -499,19 +520,33 @@ def conv_decoder(x: jnp.ndarray, guidance: list, agg: dict,
     import os
 
     B, T, H, W, C = x.shape
-    x = x.reshape(B * T, H, W, C)
     if (use_fused and guidance[0] is not None and guidance[1] is not None
             and not os.environ.get("CATSEG_NO_PALLAS_DECODER")):
         from ..kernels.decoder import decoder_kernel_applicable, fused_decoder
-        from ..parallel.mesh import active_mesh
+        from ..parallel.mesh import mesh_divides, shard_kernel
 
-        # single-device TPU path only: a pallas_call does not SPMD-partition
-        # under an active mesh (the sharded paths keep the XLA decoder)
-        if decoder_kernel_applicable(x, agg["decoder1"], agg["decoder2"]) and (
-                jax.default_backend() == "tpu" and active_mesh() is None):
-            out = fused_decoder(x, guidance[0], guidance[1], agg["decoder1"],
-                                agg["decoder2"], agg["head"], B, T)
-            return out.reshape(B, T, out.shape[1], out.shape[2])
+        # TPU only (the phase-plane kernel is Mosaic-compiled; interpret mode
+        # is far slower than the XLA conv path); under a mesh the dispatch
+        # enters a shard_map manual region — the decoder is per-(image,
+        # class) local, so each device runs the kernel on its (B/data,
+        # T/class) slab with its images' guidance planes
+        if decoder_kernel_applicable(
+                x.reshape(B * T, H, W, C), agg["decoder1"], agg["decoder2"]
+        ) and jax.default_backend() == "tpu" and mesh_divides(B, T):
+            from jax.sharding import PartitionSpec as P
+
+            def run(x5, g1, g2, d1, d2, head):
+                b, t = x5.shape[0], x5.shape[1]
+                out = fused_decoder(x5.reshape(b * t, H, W, C), g1, g2,
+                                    d1, d2, head, b, t)
+                return out.reshape(b, t, out.shape[1], out.shape[2])
+
+            return shard_kernel(
+                run, x, guidance[0], guidance[1],
+                agg["decoder1"], agg["decoder2"], agg["head"],
+                specs=(P("data", "class"), P("data"), P("data"), P(), P(), P()),
+                out_spec=P("data", "class"))
+    x = x.reshape(B * T, H, W, C)
     g1 = (guidance[0],) if guidance[0] is not None else ()
     g2 = (guidance[1],) if guidance[1] is not None else ()
     x = _up_tail(x, g1, agg["decoder1"], None, B, T)

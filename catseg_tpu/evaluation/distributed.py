@@ -1,24 +1,27 @@
 """Mesh-sharded benchmark evaluation.
 
 The reference shards eval images across DDP ranks and all_gathers confusion
-matrices (plain_train_net.py:136-146).  Single-controller equivalent: images
-are batched along the mesh "data" axis, the whole
-(resize -> sliding-window -> resize-argmax -> confusion-update) pipeline is
-one jitted SPMD program, and the per-image confusion matrices are summed by
-XLA's partitioner into a replicated accumulator — the collective all_gather
-becomes an implicit psum.
+matrices (plain_train_net.py:136-146).  Single-controller equivalent: the
+batch axis is split over EVERY mesh device inside one `jax.shard_map`
+manual region — each device runs the UNCHANGED single-chip batched pipeline
+(sliding-window forward + tail + resize-argmax + confusion update, the same
+executable bench.py times, fused Pallas kernels included) on its local
+images, and one psum of the tiny (K+1)² confusion matrix replaces DDP's
+all_gather.  GSPMD never partitions the model itself, so distribution never
+changes the per-device kernels — the reference's DDP property
+(train_net.py:317-324).
 """
 
 from __future__ import annotations
 
-
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..configs import CATSegConfig
-from ..infer.pipeline import resize_argmax_dynamic, sliding_window_probs_from_canvas
-from ..parallel.mesh import batch_sharding, replicate
+from ..infer.pipeline import sliding_window_preds_from_canvas_batch
+from ..parallel.mesh import local_region, replicate
 
 
 _step_cache: dict = {}
@@ -45,24 +48,31 @@ def make_sharded_eval_step(cfg: CATSegConfig, mesh, text_feats, out_canvas, num_
            text_feats.shape, str(text_feats.dtype))
     cached = _step_cache.get(key)
     if cached is None:
-        def one(params, text, canvas, hw, out_hw, gt):
-            probs = sliding_window_probs_from_canvas(params, canvas, hw, text, cfg)
-            pred = resize_argmax_dynamic(probs, out_hw, out_canvas)
-            K = num_classes
-            if clamp_background:
-                pred = jnp.minimum(pred, 20)
-            gt = gt.astype(jnp.int32)  # host uploads the smallest dtype that fits
-            g = jnp.where(gt == ignore, K, jnp.clip(gt, 0, K - 1))
-            idx = (pred * (K + 1) + g).reshape(-1)
-            return jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1).reshape(K + 1, K + 1)
+        axes = tuple(mesh.axis_names)  # ("data", "class"): both carry images
 
-        def step(params, text, canvases, hws, out_hws, gts):
-            cms = jax.vmap(one, in_axes=(None, None, 0, 0, 0, 0))(
-                params, text, canvases, hws, out_hws, gts)
-            return jnp.sum(cms, axis=0)
+        def local_step(params, text, canvases, hws, out_hws, gts):
+            # per-device body == the single-chip batched eval pipeline
+            # (identical executable to the bench/eval_batch path, Pallas
+            # kernels live); local_region() marks manual-SPMD land so model
+            # code never emits GSPMD constraints here
+            with local_region():
+                preds = sliding_window_preds_from_canvas_batch(
+                    params, canvases, hws, out_hws, text, cfg, out_canvas)
+                K = num_classes
+                if clamp_background:
+                    preds = jnp.minimum(preds, 20)
+                gts = gts.astype(jnp.int32)  # host uploads the smallest dtype
+                g = jnp.where(gts == ignore, K, jnp.clip(gts, 0, K - 1))
+                idx = (preds * (K + 1) + g).reshape(-1)
+                cm = jnp.zeros(((K + 1) * (K + 1),), jnp.int32).at[idx].add(1)
+            return jax.lax.psum(cm.reshape(K + 1, K + 1), axes)
 
-        bs = batch_sharding(mesh)
+        bs = NamedSharding(mesh, P(axes))
         rep = replicate(mesh)
+        step = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P(axes), P(axes), P(axes), P(axes)),
+            out_specs=P(), check_vma=False)
         cached = jax.jit(step, in_shardings=(rep, rep, bs, bs, bs, bs), out_shardings=rep)
         _step_cache[key] = cached
 
@@ -77,9 +87,9 @@ def evaluate_sharded(params, cfg: CATSegConfig, mesh, items, text_feats, *,
     accumulated confusion matrix (numpy int64).
 
     per_device_batch images ride each device per dispatch (the single-chip
-    batched loop's amortization, multiplied across the data axis): the batch
-    axis is n_data * per_device_batch, sharded on "data"."""
-    bsz = mesh.shape["data"] * max(1, per_device_batch)
+    batched loop's amortization, multiplied across every mesh device): the
+    batch axis is mesh.size * per_device_batch, split over all axes."""
+    bsz = mesh.size * max(1, per_device_batch)
     step = make_sharded_eval_step(cfg, mesh, jnp.asarray(text_feats), out_canvas,
                                   num_classes, ignore, clamp_background)
     Hc, Wc = input_canvas

@@ -9,9 +9,10 @@ axis turns spare chips into latency: each device computes its tiles, XLA
 all_gathers the tiny (nt+1, 24², T) logit tensor once, and the fold tail
 runs replicated.
 
-Under a mesh the aggregator automatically uses its partitionable plain-XLA
-stages instead of the single-chip Pallas kernels (aggregator.py:486-491);
-on >= 4 devices the tile parallelism dominates that per-tile regression.
+The tile-batch forward runs inside a `jax.shard_map` manual region: each
+device executes the unchanged single-chip model (fused Pallas kernels
+included) on its tile slice, so tile parallelism is pure speedup with no
+per-tile kernel regression.
 
 This is a TPU-native extra with no reference equivalent (DDP cannot split
 one image); it serves the demo/video path where per-frame latency, not
@@ -43,37 +44,43 @@ def make_tile_sharded_probs(cfg: CATSegConfig, mesh):
     tiles compute on black images and are dropped before the fold).
     """
     from ..infer.pipeline import _model_forward, canvas_to_sliding_inputs
-    from .mesh import use_mesh
+    from .mesh import local_region
 
     n_data = mesh.shape["data"]
     rep = NamedSharding(mesh, P())
-    tile_sharded = NamedSharding(mesh, P("data"))
+
+    def local_fwd(params, batch, text_feats):
+        # per-device body = unchanged single-chip forward on the local tiles
+        with local_region():
+            return _model_forward(params, batch, text_feats, cfg)
+
+    sharded_fwd = jax.shard_map(
+        local_fwd, mesh=mesh, in_specs=(P(), P("data"), P()),
+        out_specs=P("data"), check_vma=False)
 
     @functools.partial(jax.jit, in_shardings=(rep, rep, rep, rep), out_shardings=rep)
     def fn(params, canvas, hw, text_feats):  # cfg, mesh closed over
-        with use_mesh(mesh):
-            out, k, s = cfg.sw_out_res, cfg.sw_kernel, cfg.sw_stride
-            img640, imgk = canvas_to_sliding_inputs(canvas, hw, cfg)
+        out, k, s = cfg.sw_out_res, cfg.sw_kernel, cfg.sw_stride
+        img640, imgk = canvas_to_sliding_inputs(canvas, hw, cfg)
 
-            tiles = unfold_tiles(img640[None], k, s)  # (nt, k, k, 3)
-            batch = jnp.concatenate([tiles, imgk[None]], axis=0)
-            nt1 = batch.shape[0]
-            pad_to = -(-nt1 // n_data) * n_data
-            if pad_to != nt1:
-                batch = jnp.pad(batch, ((0, pad_to - nt1), (0, 0), (0, 0), (0, 0)))
-            batch = jax.lax.with_sharding_constraint(batch, tile_sharded)
+        tiles = unfold_tiles(img640[None], k, s)  # (nt, k, k, 3)
+        batch = jnp.concatenate([tiles, imgk[None]], axis=0)
+        nt1 = batch.shape[0]
+        pad_to = -(-nt1 // n_data) * n_data
+        if pad_to != nt1:
+            batch = jnp.pad(batch, ((0, pad_to - nt1), (0, 0), (0, 0), (0, 0)))
 
-            logits = _model_forward(params, batch, text_feats, cfg)
-            # (pad_to, T, h, w) -> gather the real tiles once, replicated:
-            # tiny next to the forward (nt+1 * h*w * T activations)
-            logits = jax.lax.with_sharding_constraint(logits, rep)
-            logits = logits[:nt1].transpose(0, 2, 3, 1)
+        logits = sharded_fwd(params, batch, text_feats)
+        # (pad_to, T, h, w) -> gather the real tiles once, replicated:
+        # tiny next to the forward (nt+1 * h*w * T activations)
+        logits = jax.lax.with_sharding_constraint(logits, rep)
+        logits = logits[:nt1].transpose(0, 2, 3, 1)
 
-            lg = resize_bilinear(logits, (k, k))
-            probs = jax.nn.sigmoid(lg.astype(jnp.float32))
-            folded = fold_tiles(probs[: nt1 - 1], (out, out), k, s)[0]
-            folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
-            global_up = resize_bilinear(probs[nt1 - 1 :], (out, out))[0]
-            return (folded + global_up) / 2.0
+        lg = resize_bilinear(logits, (k, k))
+        probs = jax.nn.sigmoid(lg.astype(jnp.float32))
+        folded = fold_tiles(probs[: nt1 - 1], (out, out), k, s)[0]
+        folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
+        global_up = resize_bilinear(probs[nt1 - 1 :], (out, out))[0]
+        return (folded + global_up) / 2.0
 
     return fn

@@ -59,12 +59,15 @@ def _cost(fn, *fargs):
 
 
 def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
-                          peak_gbps=PEAK_HBM_GBPS, log=None):
+                          peak_gbps=PEAK_HBM_GBPS, log=None, on_record=None):
     """Measure every eval-path stage; return a list of record dicts.
 
     Records: {stage, ms, gflop, gbytes, roofline_ms, roofline_frac, bound}.
     Ends with an ``end_to_end`` record (device-resident canvases) — per
     dispatch of ``batch`` images, so divide by batch for per-image ms.
+    ``on_record(records_so_far)`` fires after every completed stage so a
+    caller with a wall deadline keeps partial results (bench.py streams
+    them as JSON lines).
     """
     import jax
     import jax.numpy as jnp
@@ -78,7 +81,8 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
     from ..infer import pipeline as pl
     from ..ops import conv2d, fold_divisor, fold_tiles, resize_bilinear
 
-    params = catseg.init_catseg_params(jax.random.PRNGKey(0), cfg)
+    # jitted init: eager init issues one ~0.5 s tunnel RPC per parameter
+    params = jax.jit(lambda r: catseg.init_catseg_params(r, cfg))(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     text = rng.randn(T, 1, cfg.clip.embed_dim).astype(np.float32)
     text /= np.linalg.norm(text, axis=-1, keepdims=True)
@@ -127,6 +131,8 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
                 "bound": "flops" if t_flops >= t_hbm else "hbm",
             })
         records.append(rec)
+        if on_record:
+            on_record(records)
         if log:
             log(f"{name:34s} {ms:8.2f} ms  "
                 + (f"[{rec.get('gflop', 0):8.1f} GF {rec.get('gbytes', 0):7.3f} GB "

@@ -55,7 +55,11 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
     tokens = jnp.asarray(truncate_context(text_tokens).astype(np.int32))
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    def loss_fn(params, images, targets):
+    def make_loss_fn(gspmd_mesh):
+        return lambda params, images, targets: _loss(
+            params, images, targets, gspmd_mesh)
+
+    def _loss(params, images, targets, gspmd_mesh):
         # Frozen leaves (clip_finetune policy, cat_seg_model.py:57-75) take
         # stop_gradient so their weight-grad matmuls never enter the jaxpr:
         # the optimizer zeroes them anyway, and the reference's global-norm
@@ -66,7 +70,7 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
         params = jax.tree.map(
             lambda p, lbl: jax.lax.stop_gradient(p) if lbl == "frozen" else p,
             params, labels)
-        with use_mesh(mesh):
+        with use_mesh(gspmd_mesh):
             emb = encode_text(params["clip"], tokens, cfg.clip, compute_dtype=dtype)
             emb = emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True).astype(emb.dtype)
             text_feats = emb[:, None, :]  # (T, P=1, E)
@@ -94,7 +98,36 @@ def make_train_step(cfg: CATSegConfig, tx: optax.GradientTransformation, text_to
         # mapper emits the smallest dtypes; widen on device
         images = images.astype(jnp.float32)
         targets = targets.astype(jnp.int32)
-        loss, grads = jax.value_and_grad(loss_fn)(params, images, targets)
+        n_data = mesh.shape["data"] if mesh is not None else 1
+        n_class = mesh.shape.get("class", 1) if mesh is not None else 1
+        if mesh is not None and n_class == 1 and images.shape[0] % n_data == 0:
+            # Pure data parallelism: each device runs the UNCHANGED
+            # single-chip step (fused Pallas kernels included) on its batch
+            # slice inside one shard_map manual region; one pmean of
+            # (loss, grads) replaces DDP's bucketed all-reduce.  bce_loss is
+            # a plain mean over equal-shaped elements, so the pmean of
+            # per-shard means is exactly the global mean.
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import local_region
+
+            def local_grads(params, images, targets):
+                with local_region():
+                    out = jax.value_and_grad(make_loss_fn(None))(
+                        params, images, targets)
+                return jax.lax.pmean(out, "data")
+
+            loss, grads = jax.shard_map(
+                local_grads, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=P(), check_vma=False)(params, images, targets)
+        else:
+            # GSPMD fallback: class-axis model parallelism (or an indivisible
+            # batch) — the partitioner shards the class axis through the
+            # aggregator (constrain_class_axis) and the fused kernels still
+            # dispatch on local slabs via parallel.mesh.shard_kernel
+            loss, grads = jax.value_and_grad(make_loss_fn(mesh))(
+                params, images, targets)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

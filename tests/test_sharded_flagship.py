@@ -10,6 +10,13 @@ Runs aggregator_forward twice on the 8 virtual CPU devices: once un-meshed
 single-device, once jitted over a {data:2, class:4} mesh with batch inputs
 sharded on "data" and the class axis distributed by constrain_class_axis.
 Outputs must agree bit-tolerantly (collective reduction order may differ).
+
+Round 4: this now runs KERNELS-ON in both arms — under the mesh the fused
+swin-pair / class-layer compositions dispatch through
+parallel.mesh.shard_kernel (a shard_map manual region over the local
+(B/data, T/class) slabs), so the sharded product path executes the same
+Pallas kernels as single-chip (the round-3 build fell back to plain XLA
+under any mesh).
 """
 
 import numpy as np
