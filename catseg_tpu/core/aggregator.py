@@ -588,15 +588,42 @@ def aggregator_forward(
     that must process the kept classes only (e.g. SAM mask refinement).
     """
     T = text_feats.shape[1]
-    corr = correlation(img_feats, text_feats)
+    import os
+
+    from ..kernels.corr_embed import corr_embed_applicable, fused_corr_embed
+    from ..parallel.mesh import mesh_divides, shard_kernel
+
+    B = img_feats.shape[0]
+    fused_ok = (corr_embed_applicable(img_feats, text_feats, agg["conv1"]["w"])
+                and jax.default_backend() in ("tpu", "cpu")
+                and mesh_divides(B)
+                and not os.environ.get("CATSEG_NO_PALLAS_CORR"))
+
+    def _embed_fused(img_feats, text_n):
+        from jax.sharding import PartitionSpec as P
+
+        return shard_kernel(
+            lambda i, t, w, b: fused_corr_embed(i, t, w, b),
+            img_feats, text_n, agg["conv1"]["w"], agg["conv1"]["b"],
+            specs=(P("data"), P("data"), P(), P()),
+            out_spec=P("data"))
 
     classes = None
     if cfg.pad_len > 0 and T > cfg.pad_len:
+        corr = correlation(img_feats, text_feats)  # full-T cost for top-k
         classes = topk_classes(corr, cfg.pad_len)
-        corr = gather_classes(corr, classes)
         text_feats = gather_classes(l2_normalize(text_feats, axis=-1), classes)
-
-    x = corr_embed(corr, agg)
+        if fused_ok:
+            # re-derive the kept classes' cost inside the fused kernel
+            # (normalize + one matmul — far cheaper than gathering the
+            # (B, T, H, W, P) volume through HBM)
+            x = _embed_fused(img_feats, text_feats)
+        else:
+            x = corr_embed(gather_classes(corr, classes), agg)
+    elif fused_ok:
+        x = _embed_fused(img_feats, l2_normalize(text_feats, axis=-1))
+    else:
+        x = corr_embed(correlation(img_feats, text_feats), agg)
 
     # keep the class axis distributed across the mesh's "class" dimension
     # (no-op without an active mesh; see catseg_tpu.parallel.mesh)

@@ -60,58 +60,69 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     T, R, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
     D = C // heads
     bd = _blockdiag(C, D, jnp.float32)
-
-    # position-major: one relayout in and one out replaces the W strided
-    # (T, 3C) position slices + stack of the per-position form, and lets the
-    # whole attention run as W-batched dots (the single batch dim Mosaic
-    # allows) instead of an unrolled Python loop of M<=T tiny matmuls.
-    # R image rows per grid step (CATSEG_CLASS_ROWS) batch the dots further:
-    # fewer, larger grid steps amortize per-step overhead.
-    W = R * W  # R rows of W positions behave exactly like one wider row
-    x3 = x_ref[0].transpose((1, 2, 0, 3)).reshape(W, T, C)  # (R*W, T, C)
-    x = x3.reshape(W * T, C)
     ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
-    y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
-
-    qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
-    qkv3 = qkv.reshape(W, T, 3 * C)
     padkv = padkv_ref[:]          # (C, C) fp32, block-diagonal
     padks = padks_ref[:]          # (1, C) fp32
-    q = qkv3[..., :C]
-    k = qkv3[..., C : 2 * C]
-    v = qkv3[..., 2 * C :]
     if has_guid:
-        q = q + qg_ref[0].astype(jnp.float32)[None]  # (T, C) broadcast over W
-        k = k + kg_ref[0].astype(jnp.float32)[None]
-    Q = _elu1(q)                 # (W, T, C) fp32
-    K = _elu1(k)
-    kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)  # (W, C, C)
-    kv = kv * bd[None] + padkv[None]
-    # sublane reduce of K is unimplemented in Mosaic; a ones-row contraction
-    # computes the same per-position (1, C) sum on the MXU
-    ksum = jax.lax.dot_general(jnp.ones((W, 1, T), jnp.float32), K,
-                               dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32) + padks[None]
-    z = jnp.dot((Q * ksum).reshape(W * T, C), bd,
-                preferred_element_type=jnp.float32)  # per-head sums -> (W*T, C)
-    attn = jax.lax.dot_general(Q, kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=jnp.float32)
-    attn_all = attn.reshape(W * T, C) * (Tp / (z + _EPS))
-    seq = (x32 + attn_all).astype(x.dtype)
+        qgv = qg_ref[0].astype(jnp.float32)
+        kgv = kg_ref[0].astype(jnp.float32)
 
-    s32 = seq.astype(jnp.float32)
-    mu = jnp.mean(s32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
-    y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0] + ln2b_ref[0]).astype(x.dtype)
-    h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
-    h = jnp.maximum(h, 0.0).astype(x.dtype)
-    o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
-    out = (seq + o.astype(x.dtype)).reshape(R, W // R, T, C)
-    o_ref[0] = out.transpose((2, 0, 1, 3))
+    # R image rows ride each grid step so the class-major block's HBM chunks
+    # are R*W*C long instead of W*C: the round-4 ablation measured the whole
+    # kernel at 98% of a copy-only variant, i.e. strided-DMA-bound at ~6 KB
+    # chunks — R is sized for ~contiguous-bandwidth chunks (see _pallas).
+    # Rows are processed one per fori_loop iteration (compile time flat in
+    # R), each as W-batched dots (the single batch dim Mosaic allows).
+    # Batching 2 rows per iteration measured WORSE (12.15 vs 10.87 ms at
+    # eval dims) and 4 rows OOM-killed the Mosaic compile helper (the 4D
+    # (T, ib, W, C) relayout) — the kernel is bound by the attention dots'
+    # per-batch-element pipeline latency, which wider W does not amortize.
+
+    def row_body(r, carry):
+        x3 = x_ref[0, :, r].transpose((1, 0, 2))              # (W, T, C)
+        x = x3.reshape(W * T, C)
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
+
+        qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
+        qkv3 = qkv.reshape(W, T, 3 * C)
+        q = qkv3[..., :C]
+        k = qkv3[..., C : 2 * C]
+        v = qkv3[..., 2 * C :]
+        if has_guid:
+            q = q + qgv[None]     # (T, C) broadcast over W
+            k = k + kgv[None]
+        Q = _elu1(q)              # (W, T, C) fp32
+        K = _elu1(k)
+        kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)  # (W, C, C)
+        kv = kv * bd[None] + padkv[None]
+        # sublane reduce of K is unimplemented in Mosaic; a ones-row
+        # contraction computes the same per-position (1, C) sum on the MXU
+        ksum = jax.lax.dot_general(jnp.ones((W, 1, T), jnp.float32), K,
+                                   dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32) + padks[None]
+        z = jnp.dot((Q * ksum).reshape(W * T, C), bd,
+                    preferred_element_type=jnp.float32)  # per-head sums
+        attn = jax.lax.dot_general(Q, kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=jnp.float32)
+        attn_all = attn.reshape(W * T, C) * (Tp / (z + _EPS))
+        seq = (x32 + attn_all).astype(x.dtype)
+
+        s32 = seq.astype(jnp.float32)
+        mu = jnp.mean(s32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
+        y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0] + ln2b_ref[0]).astype(x.dtype)
+        h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
+        h = jnp.maximum(h, 0.0).astype(x.dtype)
+        o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
+        out = (seq + o.astype(x.dtype)).reshape(W, T, C)
+        o_ref[0, :, r] = out.transpose((1, 0, 2))
+        return carry
+
+    jax.lax.fori_loop(0, R, row_body, 0)
 
 
 def pad_contributions(pad_token, pad_guid, p, n_pad: int, Tp: int, heads: int):
@@ -470,13 +481,25 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
         v2(p["mlp1_w"]), v2(p["mlp1_b"], jnp.float32),
         v2(p["mlp2_w"]), v2(p["mlp2_b"], jnp.float32),
     ]
-    # rows per grid step (kept at 1: measured 14.6/16.2/~ ms for R=1/2 at
-    # eval shapes — the kernel is relayout-bound, not step-count-bound, and
-    # the (T,R,W,C)->(R*W,T,C) transpose grows with R; VMEM also scales
-    # with R through the fp32 qkv/MLP intermediates)
-    R = int(os.environ.get("CATSEG_CLASS_ROWS", "1"))
-    while H % R:
-        R -= 1
+    # Rows per grid step: the r4 ablation measured the kernel at 98% of a
+    # copy-only variant — strided-DMA-bound, because a (1, T, 1, W, C)
+    # block reads T chunks of only W*C*2 = 6 KB each at H*W*C stride.  R
+    # rows per block make the per-class chunk R*W*C long; R is the largest
+    # divisor of H whose block fits a ~16 MB budget (leaves room for the
+    # double-buffered out block + the per-row fp32 intermediates under the
+    # 100 MB scoped-VMEM cap).  Rows are fori_loop'd inside the kernel, so
+    # compile time does not grow with R.
+    env_r = os.environ.get("CATSEG_CLASS_ROWS")
+    if env_r:
+        R = int(env_r)
+        while H % R:
+            R -= 1
+    else:
+        budget = 16 * 1024 * 1024
+        R = 1
+        for r in range(1, H + 1):
+            if H % r == 0 and T * r * W * C * dt.itemsize <= budget:
+                R = r
     x_spec = pl.BlockSpec((1, T, R, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, T, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, h: (0,) * a.ndim, memory_space=pltpu.VMEM)
@@ -494,10 +517,7 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
             bytes_accessed=2 * B * T * H * W * C * dt.itemsize,
             transcendentals=B * H * W * T * 2 * C,
         ),
-        # at the pad_len=256 class count (ADE-847/PC-459 truncated path) the
-        # row slab needs 22 MB of scoped VMEM; the 16 MB default is
-        # conservative, physical VMEM is far larger
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*operands)
 
 

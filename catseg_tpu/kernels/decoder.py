@@ -64,10 +64,11 @@ _DATA_LO = BASE            # first valid lane (row 1, col 0)
 _DATA_HI = BASE + BASE * BASE  # one past last valid lane
 
 
-def _lane_masks():
-    """(valid, left_edge, right_edge) lane masks over the padded flat grid,
-    built from iota inside the kernel (trace-time shapes, no host constants)."""
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+def _lane_masks(S: int = 1):
+    """(valid, left_edge, right_edge) lane masks over S concatenated padded
+    flat grids (slabs ride the LANE axis, one L-segment each), built from
+    iota inside the kernel (trace-time shapes, no host constants)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, S * L), 1) % L
     row = lanes // BASE
     col = lanes - row * BASE
     valid = (lanes < ROWS * BASE) & (row >= 1) & (row <= BASE)
@@ -157,16 +158,21 @@ def _tap_sources(depth: int):
 
 
 def _rolled(plane_f32, cy: int, cx: int, left, right):
-    """Roll a (C, L) fp32 plane by a (row, col) base shift with edge masking.
+    """Roll a (C, S*L) fp32 plane stack by a (row, col) base shift with edge
+    masking.  Reads source position (q+cy, r+cx): a lane roll of
+    cy*BASE + cx.  Pad rows/lanes are zero, so vertical wrap reads zeros;
+    horizontal carries additionally mask the wrapped edge column.
 
-    Reads source position (q+cy, r+cx): a lane roll of cy*BASE + cx.  Pad
-    rows/lanes are zero, so vertical wrap reads zeros; horizontal carries
-    additionally mask the wrapped edge column.
+    With S slabs concatenated on the lane axis, one ring roll serves all
+    slabs: every VALID output lane reads within +-(BASE+1) lanes, so a
+    cross-slab (or ring-wrap) read can only land in the neighbouring slab's
+    zero pad row (lanes 0..BASE-1) or zero tail (lanes 600..639) — provided
+    invalid lanes are re-zeroed between stages (GN/masking does).
     """
     shift = cy * BASE + cx
     x = plane_f32
     if shift:
-        x = pltpu.roll(x, (-shift) % L, 1)
+        x = pltpu.roll(x, (-shift) % x.shape[-1], 1)
     if cx == 1:
         x = jnp.where(right, jnp.zeros_like(x), x)
     elif cx == -1:
@@ -208,119 +214,178 @@ def _phased_conv(x_f32, C: int, depth: int, w, left, right, dtype):
 
 
 @functools.lru_cache(maxsize=None)
-def _tap_keys(depth: int):
-    """The distinct (source plane, row carry, col carry) rolled variants a
-    3x3 conv at `depth` reads across ALL output phases, plus each output
-    phase's tap -> variant index map.
+def _row_groups(depth: int):
+    """Output phases grouped by base ROW phase py, with each group's distinct
+    rolled variants and per-phase tap -> variant maps.
 
-    depth=1 has 16 variants (vs 4x9 = 36 taps), depth=2 has 36 (vs 144): the
-    grouped conv (see _phased_conv_grouped) stacks each variant once instead
-    of once per referencing phase.
+    The round-3 kernel grouped ALL phases into one matmul: M = P*Cout (full
+    MXU row fill) but K = D_all*C with D_all = 16 (depth 1) / 36 (depth 2)
+    distinct variants vs 9 useful taps — 1.78x / 4x redundant MACs, and the
+    measured kernel was FLOP-bound on exactly that waste (row-4 ablation:
+    slimming K to 9C cut 36.2 -> 18.9 ms at eval shapes).  Grouping by base
+    row keeps M = s*Cout (= 128 at both decoder stages: 2*64, 4*32 — still
+    full fill) while each group only stacks the variants its own phases
+    read: 3 row-variants x 4 col-variants = 12 (depth 1) and 3 x 6 = 18
+    (depth 2) — K-waste 1.33x / 2x.  Groups are contiguous phase ranges, so
+    concatenated group outputs are already phase-major.
     """
-    keys: list = []
-    kidx: dict = {}
-    plane_map = []
-    for taps in _tap_sources(depth):
-        row = []
-        for key in taps:
-            if key not in kidx:
-                kidx[key] = len(keys)
-                keys.append(key)
-            row.append(kidx[key])
-        plane_map.append(tuple(row))
-    return tuple(keys), tuple(plane_map)
+    s = 1 << depth
+    srcs = _tap_sources(depth)
+    groups = []
+    for py in range(s):
+        phases = list(range(py * s, (py + 1) * s))
+        keys: list = []
+        kidx: dict = {}
+        pmaps = []
+        for p in phases:
+            row = []
+            for key in srcs[p]:
+                if key not in kidx:
+                    kidx[key] = len(keys)
+                    keys.append(key)
+                row.append(kidx[key])
+            pmaps.append(tuple(row))
+        groups.append((tuple(phases), tuple(keys), tuple(pmaps)))
+    assert len({len(k) for _, k, _ in groups}) == 1  # uniform D per group
+    return tuple(groups)
 
 
 def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
-    """(Cout, 9*Cin) tap-major weights -> (P*Cout, D*Cin) grouped block form.
+    """(Cout, 9*Cin) tap-major weights -> (G, sP*Cout, D*Cin) row-grouped
+    block form (see :func:`_row_groups`).
 
-    Row block p holds output phase p's weights laid out over the D distinct
-    rolled variants (zero where phase p has no tap reading that variant; a
-    phase's 9 taps map to 9 distinct variants, so placement is 1:1).  Built
-    outside the kernel (host/XLA) — the block matrix is an operand, not
-    per-step VMEM work.
+    Group g's row block p holds that phase's weights laid out over the
+    group's D distinct rolled variants (zero where the phase has no tap
+    reading that variant; a phase's 9 taps map to 9 distinct variants, so
+    placement is 1:1).  Built outside the kernel (host/XLA) — the block
+    tensor is an operand, not per-step VMEM work.
     """
-    keys, plane_map = _tap_keys(depth)
-    D = len(keys)
     cout = wm.shape[0]
     zero = jnp.zeros((cout, cin), wm.dtype)
-    rows = []
-    for kmap in plane_map:
-        by_variant = {j: t for t, j in enumerate(kmap)}
-        rows.append(jnp.concatenate(
-            [wm[:, by_variant[j] * cin:(by_variant[j] + 1) * cin]
-             if j in by_variant else zero for j in range(D)], axis=1))
-    return jnp.concatenate(rows, axis=0)
+    gmats = []
+    for _, keys, pmaps in _row_groups(depth):
+        D = len(keys)
+        rows = []
+        for kmap in pmaps:
+            by_variant = {j: t for t, j in enumerate(kmap)}
+            rows.append(jnp.concatenate(
+                [wm[:, by_variant[j] * cin:(by_variant[j] + 1) * cin]
+                 if j in by_variant else zero for j in range(D)], axis=1))
+        gmats.append(jnp.concatenate(rows, axis=0))
+    return jnp.stack(gmats, axis=0)
 
 
 def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype):
-    """Grouped :func:`_phased_conv`: all output phases in ONE matmul.
+    """Row-grouped phased 3x3 conv: one matmul per base-row group.
 
-    wb: (P*Cout, D*C) from :func:`_conv_w_grouped`.  The per-phase form runs
-    P dots at M = Cout (25-50% MXU row fill at the 32-96 decoder channel
-    counts) and concatenates a 9-block im2col per phase (P*9 VMEM block
-    copies); this form stacks the D distinct rolled variants once (D block
-    copies) and runs one dot at M = P*Cout (full fill).  The zero blocks in
-    wb add redundant MACs, but the kernel was copy/row-fill bound, not
-    FLOP bound.  Bit-behavior: f32 accumulation order over the contraction
-    differs from the per-phase form (zeros contribute exactly 0); covered by
-    the same XLA-equivalence tests.
+    wb: (G, sP*Cout, D*C) from :func:`_conv_w_grouped`.  Each group's dot
+    runs at M = sP*Cout (full MXU row fill at the decoder channel counts)
+    against only ITS distinct rolled variants (K = D*C, D = 12/18 vs the
+    whole-P form's 16/36) — the rolled planes are memoized across groups so
+    the total roll count is unchanged.  Bit-behavior: f32 accumulation order
+    over the contraction differs from the per-phase form (zero blocks
+    contribute exactly 0); covered by the same XLA-equivalence tests.
     """
-    keys, _ = _tap_keys(depth)
     P = (1 << depth) ** 2
     planes = [x_f32[p * C:(p + 1) * C] for p in range(P)]
-    stacked = jnp.concatenate(
-        [_rolled(planes[sp], cy, cx, left, right).astype(dtype)
-         for (sp, cy, cx) in keys], axis=0)
-    return jax.lax.dot_general(wb.astype(dtype), stacked, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    cache: dict = {}
+
+    def rolled(key):
+        if key not in cache:
+            sp, cy, cx = key
+            cache[key] = _rolled(planes[sp], cy, cx, left, right).astype(dtype)
+        return cache[key]
+
+    wb = wb.astype(dtype)
+    outs = []
+    for g, (_, keys, _) in enumerate(_row_groups(depth)):
+        stacked = jnp.concatenate([rolled(k) for k in keys], axis=0)
+        outs.append(jax.lax.dot_general(
+            wb[g], stacked, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=0)
 
 
-def _gn_stats(h, C: int, P: int, valid, n_groups: int):
-    """Per-group (mean, rsqrt(var + eps)) over phased planes + valid lanes.
+def _gn_selT(C: int, P: int, n_groups: int):
+    """(P*C, n_groups) 0/1 membership: plane-stack row r belongs to channel
+    group (r % C) // (C // n_groups).  Built from iota (no host constants)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (P * C, n_groups), 0)
+    g = jax.lax.broadcasted_iota(jnp.int32, (P * C, n_groups), 1)
+    return (((r % C) // (C // n_groups)) == g).astype(jnp.float32)
 
-    Row-block slices + scalar reductions: Mosaic's layout inference aborts
-    on multi-axis keepdims reductions over >2D reshapes (seen on v5e).
+
+def _seg_matrix(S: int, transpose: bool = False):
+    """(S*L, S) 0/1 lane-segment membership (or its (S, S*L) transpose):
+    lane l belongs to slab l // L.  Built from iota in-kernel."""
+    shape = (S, S * L) if transpose else (S * L, S)
+    lane_dim, slab_dim = (1, 0) if transpose else (0, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, lane_dim)
+    slab = jax.lax.broadcasted_iota(jnp.int32, shape, slab_dim)
+    return ((lane // L) == slab).astype(jnp.float32)
+
+
+def _gn_stats(h, C: int, P: int, valid, n_groups: int, S: int = 1):
+    """Per-(group, slab) mean / rsqrt(var + eps) as (n_groups, S) blocks.
+
+    Two selector matmuls replace the round-3 per-(plane, group) scalar-sum
+    loops (2*P*n_groups tiny reductions; the GN chains cost ~5 ms of the
+    36 ms eval dispatch in the r4 ablation): a lane-segment matmul gives
+    per-slab row sums, a channel-group selector contracts the rows.  Slab
+    statistics stay independent (GroupNorm is per (image, class) slab).
+    Mosaic note: multi-axis keepdims reductions over >2D reshapes crash
+    layout inference (seen on v5e) — everything here stays 2D.
     """
     hm = jnp.where(valid, h, 0.0)
-    gs = C // n_groups
-    cnt = float(P * gs * (BASE * BASE))
-    stats = []
-    for g in range(n_groups):
-        s1 = jnp.float32(0.0)
-        s2 = jnp.float32(0.0)
-        for p in range(P):
-            blk = hm[p * C + g * gs:p * C + (g + 1) * gs]
-            s1 = s1 + jnp.sum(blk)
-            s2 = s2 + jnp.sum(blk * blk)
-        mean = s1 / cnt
-        var = s2 / cnt - mean * mean
-        stats.append((mean, jax.lax.rsqrt(var + 1e-5)))
-    return stats
+    sel = _gn_selT(C, P, n_groups)                            # (P*C, G)
+    cnt = float(P * (C // n_groups) * (BASE * BASE))
+    if S == 1:
+        rs1 = jnp.sum(hm, axis=1, keepdims=True)              # (P*C, 1)
+        rs2 = jnp.sum(hm * hm, axis=1, keepdims=True)
+    else:
+        seg = _seg_matrix(S)                                  # (S*L, S)
+        rs1 = jax.lax.dot_general(hm, seg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        rs2 = jax.lax.dot_general(hm * hm, seg, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    mean = jax.lax.dot_general(sel, rs1, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) / cnt
+    s2 = jax.lax.dot_general(sel, rs2, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / cnt
+    var = s2 - mean * mean                                    # (G, S)
+    return mean, jax.lax.rsqrt(var + 1e-5)
 
 
 def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int,
-                     stats=None):
+                     stats=None, S: int = 1):
     """GroupNorm(n_groups, C) + ReLU over phased planes, zeroing pad regions.
 
-    h: (P*C, L) fp32 conv output (+bias/guidance already added).  Stats run
-    over each channel group across ALL planes and valid lanes (the planes
-    jointly tile the native image).  g/b refs: (C, 1).
+    h: (P*C, S*L) fp32 conv output (+bias/guidance already added).  Stats
+    run over each channel group across ALL planes and valid lanes of each
+    slab segment (the planes jointly tile that slab's native image).  g/b
+    refs: (C, 1).  The normalize runs as ONE fused affine pass: per-row,
+    per-slab scale/shift expanded to lanes by a segment matmul.
     """
     if stats is None:
-        stats = _gn_stats(h, C, P, valid, n_groups)
-    gs = C // n_groups
-    gain = g_ref[:].astype(jnp.float32)
-    bias = b_ref[:].astype(jnp.float32)
-    out = []
-    for p in range(P):
-        for g in range(n_groups):
-            mean, inv = stats[g]
-            blk = h[p * C + g * gs:p * C + (g + 1) * gs]
-            gg = gain[g * gs:(g + 1) * gs]
-            bb = bias[g * gs:(g + 1) * gs]
-            out.append((blk - mean) * (inv * gg) + bb)
-    y = jnp.maximum(jnp.concatenate(out, axis=0), 0.0)
+        stats = _gn_stats(h, C, P, valid, n_groups, S)
+    mean, inv = stats                                         # (G, S) each
+    selT = _gn_selT(C, P, n_groups)                           # (P*C, G)
+    meanr = jax.lax.dot_general(selT, mean, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (P*C, S)
+    invr = jax.lax.dot_general(selT, inv, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    gain = jnp.tile(g_ref[:].astype(jnp.float32), (P, 1))     # (P*C, 1)
+    bias = jnp.tile(b_ref[:].astype(jnp.float32), (P, 1))
+    scale = invr * gain                                       # (P*C, S)
+    shift = bias - meanr * scale
+    if S == 1:
+        scale_l, shift_l = scale, shift                       # broadcast (.,1)
+    else:
+        segT = _seg_matrix(S, transpose=True)                 # (S, S*L)
+        scale_l = jax.lax.dot_general(scale, segT, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        shift_l = jax.lax.dot_general(shift, segT, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    y = jnp.maximum(h * scale_l + shift_l, 0.0)
     return jnp.where(valid, y, 0.0)
 
 
@@ -334,13 +399,14 @@ def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
     cnt = float(P * gs * (BASE * BASE))
     gain = g_ref[:].astype(jnp.float32)
     bias = b_ref[:].astype(jnp.float32)
+    mean_col, inv_col = stats                                 # (G, 1) each
     dys, xhats = {}, {}
     gsums = [(jnp.float32(0.0), jnp.float32(0.0)) for _ in range(n_groups)]
     dgain = [None] * n_groups
     dbias = [None] * n_groups
     for p in range(P):
         for g in range(n_groups):
-            mean, inv = stats[g]
+            mean, inv = mean_col[g, 0], inv_col[g, 0]
             r0, r1 = p * C + g * gs, p * C + (g + 1) * gs
             gg = gain[g * gs:(g + 1) * gs]
             bb = bias[g * gs:(g + 1) * gs]
@@ -359,7 +425,7 @@ def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
     dc = []
     for p in range(P):
         for g in range(n_groups):
-            _, inv = stats[g]
+            inv = inv_col[g, 0]
             s1, s2 = gsums[g]
             dyg, xhat = dys[(p, g)], xhats[(p, g)]
             dc.append(jnp.where(
@@ -396,30 +462,36 @@ def _up2_planes(planes1, up2, up2b_ref, valid, dtype):
     return jnp.where(valid, u2, 0.0)
 
 
-def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False):
-    """One slab's full decoder forward on phase planes.
+def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1):
+    """Full decoder forward on phase planes for S lane-concatenated slabs.
 
+    x: (128, S*L); hg1/hg2: per-image guidance planes already tiled to S*L.
     W: dict of loaded weight arrays/refs (refs for the (C,1) columns).
-    Returns the (16, L) head output planes, plus every pre-GN activation and
-    GN stats when ``keep`` (for the backward's reverse sweep).
+    Returns the (16, S*L) head output planes, plus every pre-GN activation
+    and GN stats when ``keep`` (for the backward's reverse sweep, S=1).
+
+    Slabs ride the LANE axis (not an unrolled Python loop): every grouped
+    conv matmul gets an S-times wider N, per-step overheads amortize over S
+    slabs, and Mosaic compile time no longer grows with S (the round-3
+    kernel's unrolled body capped S at 2 for compile time).
     """
     valid, left, right = masks
     u1 = _up1_planes(x, W["up1"], W["up1b"], valid, dtype)
     c1 = _phased_conv_grouped(u1, 96, 1, W["c11"], left, right, dtype) + hg1
-    st1 = _gn_stats(c1, 64, 4, valid, 4)
-    h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1)
+    st1 = _gn_stats(c1, 64, 4, valid, 4, S)
+    h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1, S)
     c2 = _phased_conv_grouped(h1, 64, 1, W["c12"], left, right, dtype)
-    st2 = _gn_stats(c2, 64, 4, valid, 4)
-    h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2)
+    st2 = _gn_stats(c2, 64, 4, valid, 4, S)
+    h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2, S)
 
     planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
     u2 = _up2_planes(planes1, W["up2"], W["up2b"], valid, dtype)
     c3 = _phased_conv_grouped(u2, 48, 2, W["c21"], left, right, dtype) + hg2
-    st3 = _gn_stats(c3, 32, 16, valid, 2)
-    h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3)
+    st3 = _gn_stats(c3, 32, 16, valid, 2, S)
+    h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3, S)
     c4 = _phased_conv_grouped(h3, 32, 2, W["c22"], left, right, dtype)
-    st4 = _gn_stats(c4, 32, 16, valid, 2)
-    h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4)
+    st4 = _gn_stats(c4, 32, 16, valid, 2, S)
+    h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4, S)
 
     out = _phased_conv_grouped(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
     if keep:
@@ -433,8 +505,8 @@ _W_KEYS = ("up1", "up1b", "c11", "gn11g", "gn11b", "c12", "gn12g", "gn12b",
 
 
 def _load_weights(refs):
-    """Weight refs -> dict; 2D matmul weights loaded, (C,1) columns kept as
-    refs (loaded lazily where used)."""
+    """Weight refs -> dict; matmul weight tensors loaded, (C,1) columns kept
+    as refs (loaded lazily where used)."""
     W = dict(zip(_W_KEYS, refs))
     for k in ("up1", "up2", "c11", "c12", "c21", "c22", "hw"):
         W[k] = W[k][:]
@@ -442,6 +514,11 @@ def _load_weights(refs):
 
 
 def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int):
+    # slabs are processed as an unrolled loop of L-wide bodies: the
+    # lane-concatenated alternative (S slabs on the lane axis, one S*L-wide
+    # body) was built and measured SLOWER at every S (31-35 ms vs 26.6 ms at
+    # eval shapes) — the input concat + per-image guidance tiling to S*L
+    # cost more VPU copies than the wider matmul N saved.
     refs, o_ref = rest[:-1], rest[-1]
     masks = _lane_masks()
     W = _load_weights(refs)
@@ -638,8 +715,8 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
 
     # Slabs per grid step: amortizes per-step DMA/dispatch overhead.  S must
     # divide T so a step never spans two images (the hg blocks are per-image).
-    # Capped at 2: the body is fully unrolled per slab and Mosaic compile
-    # time grows superlinearly with it (S=5 took >20 min on the v5e).
+    # Capped at 2: the body is unrolled per slab and Mosaic compile time
+    # grows superlinearly with it (S=5 took >20 min on the v5e).
     S = next(s for s in (2, 1) if T % s == 0 and N % s == 0)
     kernel = functools.partial(_kernel, dtype=dtype, slabs=S)
     interpret = jax.default_backend() != "tpu"

@@ -93,6 +93,17 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
 
     records = []
 
+    def drain_rt():
+        # empty-queue scalar-fetch round trip: the tunneled sync costs
+        # ~45-50 ms, which at small rep counts used to inflate every stage
+        # by sync/n (reps=6 -> +8 ms — the round-3 stage records' apparent
+        # "7-30% of roofline" was largely this artifact)
+        z = jnp.ones((8, 8))
+        sync(z)
+        t0 = time.time()
+        sync(z)
+        return time.time() - t0
+
     def bench(name, fn, *fargs, n=reps, prejit=False):
         # prejit: fn is already a jitted callable taking params as an
         # ARGUMENT — re-wrapping a params-closure in jax.jit would inline
@@ -101,11 +112,13 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
         jfn = fn if prejit else jax.jit(fn)
         out = jfn(*fargs)
         sync(out)  # compile + drain
+        d = min(drain_rt() for _ in range(2))
         t0 = time.time()
         for _ in range(n):
             out = jfn(*fargs)
         sync(out)
-        ms = (time.time() - t0) / n * 1000
+        dt = time.time() - t0
+        ms = (dt - min(d, dt / 3)) / n * 1000
         if prejit:
             flops, nbytes = None, None
             try:

@@ -72,23 +72,34 @@ def test_fused_decoder_gradients(agg_params):
 
 
 def test_grouped_conv_weight_layout():
-    """_conv_w_grouped places each output phase's 9 tap blocks 1:1 onto the
-    distinct rolled variants (rest zero), so the grouped matmul equals the
-    per-phase form: out_p = sum_t W_t @ rolled(key(p, t))."""
-    from catseg_tpu.kernels.decoder import _conv_w_grouped, _tap_keys, _conv_w_mat
+    """_conv_w_grouped places each output phase's 9 tap blocks 1:1 onto its
+    ROW GROUP's distinct rolled variants (rest zero), so each group's matmul
+    equals the per-phase form: out_p = sum_t W_t @ rolled(key(p, t)).
+    Groups must tile the phases contiguously (concatenated outputs are
+    phase-major) and stay at the full-MXU-fill K-waste the docstring claims
+    (12 variants at depth 1, 18 at depth 2)."""
+    from catseg_tpu.kernels.decoder import (
+        _conv_w_grouped, _conv_w_mat, _row_groups)
 
     rng = np.random.RandomState(3)
-    for depth, cin, cout in ((1, 5, 7), (2, 4, 3)):
+    for depth, cin, cout, want_D in ((1, 5, 7, 12), (2, 4, 3, 18)):
         w = jnp.asarray(rng.randn(3, 3, cin, cout), jnp.float32)
         wm = _conv_w_mat(w)                       # (cout, 9*cin)
         wb = np.asarray(_conv_w_grouped(wm, cin, depth))
-        keys, plane_map = _tap_keys(depth)
-        P = (1 << depth) ** 2
-        assert wb.shape == (P * cout, len(keys) * cin)
+        groups = _row_groups(depth)
+        s = 1 << depth
+        assert wb.shape == (s, s * cout, want_D * cin)
         wm = np.asarray(wm)
-        for p, kmap in enumerate(plane_map):
-            assert len(set(kmap)) == 9  # taps map to distinct variants
-            got = np.zeros((cout, len(keys) * cin), np.float32)
-            for t, j in enumerate(kmap):
-                got[:, j * cin:(j + 1) * cin] = wm[:, t * cin:(t + 1) * cin]
-            np.testing.assert_array_equal(wb[p * cout:(p + 1) * cout], got)
+        next_phase = 0
+        for g, (phases, keys, pmaps) in enumerate(groups):
+            assert phases[0] == next_phase  # contiguous tiling
+            next_phase = phases[-1] + 1
+            assert len(keys) == want_D
+            for i, kmap in enumerate(pmaps):
+                assert len(set(kmap)) == 9  # taps map to distinct variants
+                got = np.zeros((cout, want_D * cin), np.float32)
+                for t, j in enumerate(kmap):
+                    got[:, j * cin:(j + 1) * cin] = wm[:, t * cin:(t + 1) * cin]
+                np.testing.assert_array_equal(
+                    wb[g, i * cout:(i + 1) * cout], got)
+        assert next_phase == s * s

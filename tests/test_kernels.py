@@ -318,3 +318,42 @@ def test_fused_class_layer_guidance_param_grads():
         np.testing.assert_allclose(
             np.asarray(gp_f[key]), np.asarray(gp_r[key]), atol=2e-3, rtol=1e-3,
             err_msg=key)
+
+
+@pytest.mark.parametrize("P,truncate", [(1, False), (2, False), (1, True)])
+def test_fused_corr_embed_matches_reference(P, truncate):
+    """kernels/corr_embed.py == l2_normalize + einsum cost + conv2d(7x7)
+    (model.py:648-659 semantics), incl. grad through the custom VJP."""
+    from catseg_tpu.kernels.corr_embed import (
+        corr_embed_applicable, fused_corr_embed, _reference)
+    from catseg_tpu.core.aggregator import l2_normalize
+
+    rng = np.random.RandomState(0)
+    B, T, E, C = 2, 10, 64, 128
+    img = jnp.asarray(rng.randn(B, 24, 24, E).astype(np.float32))
+    text = rng.randn(B, T, P, E).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+    w = jnp.asarray(rng.randn(7, 7, P, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(C).astype(np.float32))
+    # P > MAX_P routes to the XLA reference inside fused_corr_embed (the
+    # ensemble prompt counts were never in kernel range)
+    assert corr_embed_applicable(img, text, w) == (P == 1)
+
+    got = np.asarray(fused_corr_embed(img, text, w, b))
+    want = np.asarray(_reference(img, text, w, b))
+    assert got.shape == (B, T, 24, 24, C)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+    if truncate:
+        # grad flows through the XLA-composition VJP
+        def loss(img, w):
+            return jnp.sum(jnp.tanh(fused_corr_embed(img, text, w, b)))
+
+        gi, gw = jax.grad(loss, argnums=(0, 1))(img, w)
+
+        def loss_ref(img, w):
+            return jnp.sum(jnp.tanh(_reference(img, text, w, b)))
+
+        ri, rw = jax.grad(loss_ref, argnums=(0, 1))(img, w)
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)
