@@ -311,10 +311,12 @@ def _secondary_registry():
     from catseg_tpu.configs import vitb384, vitl336, vith336, eval_preset
 
     return {
-        "train_step_vitb384": lambda: measure_train(vitb384(), batch=(4, 8), budget_s=10.0),
         "stages_vitb384_T150": lambda: measure_stages(
-            eval_preset(vitb384()), T=150, batch=2, reps=6,
+            eval_preset(vitb384()), T=150, batch=2, reps=12,
             stream_name="stages_vitb384_T150"),
+        "train_step_vitb384": lambda: measure_train(vitb384(), batch=(4, 8), budget_s=10.0),
+        "vitb384_T150_batch4": lambda: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=12.0, batch=4, n_per_round=8),
         "vitl336_T150": lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=12.0),
         "vitb384_T847_topk": lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=12.0),
         "vith336_T150": lambda: measure_eval(
@@ -330,19 +332,36 @@ def _run_only(names: str) -> None:
     streaming one ``{"name": ..., "result": ...}`` JSON line per completion
     (so a timeout mid-list still yields every earlier result)."""
     _setup_compile_cache()
-    # back-to-back process starts are the known trigger for transient
-    # FAILED_PRECONDITION on the tunneled chip — probe with one retry
+    # back-to-back process starts trigger transient FAILED_PRECONDITION, and
+    # the tunnel goes dark intermittently — in which case the probe HANGS
+    # rather than raising, so it runs on a daemon thread and the main thread
+    # logs progress (a silent 6-minute child with zero output is exactly how
+    # BENCH_r04's first runs lost all secondaries)
+    import threading
+
     import jax.numpy as jnp
 
-    for attempt in (0, 1):
-        try:
-            _sync(jnp.ones((8, 8)))
-            break
-        except Exception as e:
-            _log(f"subprocess device probe error (attempt {attempt}): {e}")
-            if attempt:
-                raise
-            time.sleep(5.0)
+    probe_ok: list = []
+
+    def _probe():
+        while True:
+            try:
+                _sync(jnp.ones((8, 8)))
+                probe_ok.append(True)
+                return
+            except Exception as e:
+                _log(f"subprocess device probe error (retrying): {e}")
+                time.sleep(5.0)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    waited = 0.0
+    while not probe_ok:
+        t.join(30.0)
+        if not probe_ok:
+            waited += 30.0
+            _log(f"subprocess device probe still pending after {waited:.0f}s "
+                 "(tunnel dark?)")
     registry = _secondary_registry()
     for name in names.split(","):
         _log(f"secondary: {name}")
