@@ -445,6 +445,18 @@ def main():
     extra = {n: "skipped: wall budget" for n in names}
     remaining = TOTAL_BUDGET_S - (time.time() - _T0)
     if remaining > 90:
+        # Release this process's device client FIRST: the tunneled chip
+        # admits ONE client at a time, so with the parent still attached the
+        # child's device probe blocks forever (observed in r4: parent
+        # measuring happily at +19s, child probe pending for 450s).  The
+        # parent only parses child stdout from here on.
+        try:
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+            _log("parent device client released for the secondary subprocess")
+        except Exception as e:
+            _log(f"clear_backends failed ({e}); child may block on the device")
         stdout = ""
         try:
             # stderr inherits: the child's per-secondary _log timestamps

@@ -275,7 +275,8 @@ def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
     return jnp.stack(gmats, axis=0)
 
 
-def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype):
+def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype,
+                         fast_roll: bool = False):
     """Row-grouped phased 3x3 conv: one matmul per base-row group.
 
     wb: (G, sP*Cout, D*C) from :func:`_conv_w_grouped`.  Each group's dot
@@ -285,16 +286,41 @@ def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype):
     the total roll count is unchanged.  Bit-behavior: f32 accumulation order
     over the contraction differs from the per-phase form (zero blocks
     contribute exactly 0); covered by the same XLA-equivalence tests.
+
+    ``fast_roll`` (compiled bf16 only): cast each plane to bf16 ONCE, then
+    roll the bf16 lanes through an int32 sublane-pair bitcast — pltpu.roll
+    is 32-bit-only, but bitcast packs sublanes and preserves lane structure
+    (probed bit-exact on v5e).  Halves the roll/variant-stack bytes vs the
+    r3 roll-fp32-then-cast-per-variant path.
     """
     P = (1 << depth) ** 2
-    planes = [x_f32[p * C:(p + 1) * C] for p in range(P)]
     cache: dict = {}
+    if fast_roll:
+        planes = [x_f32[p * C:(p + 1) * C].astype(dtype) for p in range(P)]
 
-    def rolled(key):
-        if key not in cache:
-            sp, cy, cx = key
-            cache[key] = _rolled(planes[sp], cy, cx, left, right).astype(dtype)
-        return cache[key]
+        def rolled(key):
+            if key not in cache:
+                sp, cy, cx = key
+                x = planes[sp]
+                shift = cy * BASE + cx
+                if shift:
+                    packed = pltpu.bitcast(x, jnp.int32)
+                    packed = pltpu.roll(packed, (-shift) % x.shape[-1], 1)
+                    x = pltpu.bitcast(packed, jnp.bfloat16)
+                if cx == 1:
+                    x = jnp.where(right, jnp.zeros_like(x), x)
+                elif cx == -1:
+                    x = jnp.where(left, jnp.zeros_like(x), x)
+                cache[key] = x
+            return cache[key]
+    else:
+        planes = [x_f32[p * C:(p + 1) * C] for p in range(P)]
+
+        def rolled(key):
+            if key not in cache:
+                sp, cy, cx = key
+                cache[key] = _rolled(planes[sp], cy, cx, left, right).astype(dtype)
+            return cache[key]
 
     wb = wb.astype(dtype)
     outs = []
@@ -462,7 +488,8 @@ def _up2_planes(planes1, up2, up2b_ref, valid, dtype):
     return jnp.where(valid, u2, 0.0)
 
 
-def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1):
+def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1,
+                  fast_roll: bool = False):
     """Full decoder forward on phase planes for S lane-concatenated slabs.
 
     x: (128, S*L); hg1/hg2: per-image guidance planes already tiled to S*L.
@@ -476,24 +503,25 @@ def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1):
     kernel's unrolled body capped S at 2 for compile time).
     """
     valid, left, right = masks
+    conv = lambda *a: _phased_conv_grouped(*a, fast_roll=fast_roll)
     u1 = _up1_planes(x, W["up1"], W["up1b"], valid, dtype)
-    c1 = _phased_conv_grouped(u1, 96, 1, W["c11"], left, right, dtype) + hg1
+    c1 = conv(u1, 96, 1, W["c11"], left, right, dtype) + hg1
     st1 = _gn_stats(c1, 64, 4, valid, 4, S)
     h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1, S)
-    c2 = _phased_conv_grouped(h1, 64, 1, W["c12"], left, right, dtype)
+    c2 = conv(h1, 64, 1, W["c12"], left, right, dtype)
     st2 = _gn_stats(c2, 64, 4, valid, 4, S)
     h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2, S)
 
     planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
     u2 = _up2_planes(planes1, W["up2"], W["up2b"], valid, dtype)
-    c3 = _phased_conv_grouped(u2, 48, 2, W["c21"], left, right, dtype) + hg2
+    c3 = conv(u2, 48, 2, W["c21"], left, right, dtype) + hg2
     st3 = _gn_stats(c3, 32, 16, valid, 2, S)
     h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3, S)
-    c4 = _phased_conv_grouped(h3, 32, 2, W["c22"], left, right, dtype)
+    c4 = conv(h3, 32, 2, W["c22"], left, right, dtype)
     st4 = _gn_stats(c4, 32, 16, valid, 2, S)
     h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4, S)
 
-    out = _phased_conv_grouped(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
+    out = conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
     if keep:
         return out, (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4)
     return out
@@ -513,7 +541,8 @@ def _load_weights(refs):
     return W
 
 
-def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int):
+def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int,
+            fast_roll: bool = False):
     # slabs are processed as an unrolled loop of L-wide bodies: the
     # lane-concatenated alternative (S slabs on the lane axis, one S*L-wide
     # body) was built and measured SLOWER at every S (31-35 ms vs 26.6 ms at
@@ -524,7 +553,8 @@ def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int):
     W = _load_weights(refs)
     for s in range(slabs):
         out = _slab_forward(x_ref[s], hg1_ref[0].astype(jnp.float32),
-                            hg2_ref[0].astype(jnp.float32), W, masks, dtype)
+                            hg2_ref[0].astype(jnp.float32), W, masks, dtype,
+                            fast_roll=fast_roll)
         o_ref[s] = out.astype(o_ref.dtype)
 
 
@@ -718,8 +748,12 @@ def _fused_fwd_impl(x, g1, g2, d1, d2, head, B, T):
     # Capped at 2: the body is unrolled per slab and Mosaic compile time
     # grows superlinearly with it (S=5 took >20 min on the v5e).
     S = next(s for s in (2, 1) if T % s == 0 and N % s == 0)
-    kernel = functools.partial(_kernel, dtype=dtype, slabs=S)
     interpret = jax.default_backend() != "tpu"
+    # bf16 lane rolls via int32 sublane-pair bitcast: compiled Mosaic only
+    # (interpret mode and fp32 keep the roll-then-cast path)
+    fast_roll = (not interpret) and dtype == jnp.bfloat16
+    kernel = functools.partial(_kernel, dtype=dtype, slabs=S,
+                               fast_roll=fast_roll)
     TS = T // S
 
     out = pl.pallas_call(

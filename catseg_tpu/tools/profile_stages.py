@@ -177,9 +177,21 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
     # constants inlined/hashed per compile (slow lookups, and the re-jitted
     # full pipeline even drew the tunnel's HTTP 413 size limit)
     bench(f"clip_guidance ({B} tiles)", stage_clip, params, tiles)
-    corr = bench("correlation", correlation, img_feats, textB)
     agg = params["agg"]
-    x0 = bench("corr_embed 7x7", lambda a, c: corr_embed(c, a), agg, corr)
+    from ..core.aggregator import l2_normalize
+    from ..kernels.corr_embed import corr_embed_applicable, fused_corr_embed
+
+    if corr_embed_applicable(img_feats, textB, agg["conv1"]["w"]):
+        # the production path: normalize + cosine cost + 7x7 embed in one
+        # Pallas dispatch (kernels/corr_embed.py)
+        text_n = l2_normalize(textB, axis=-1)
+        x0 = bench("corr+embed (fused)",
+                   lambda a, i, t: fused_corr_embed(i, t, a["conv1"]["w"],
+                                                    a["conv1"]["b"]),
+                   agg, img_feats, text_n)
+    else:
+        corr = bench("correlation", correlation, img_feats, textB)
+        x0 = bench("corr_embed 7x7", lambda a, c: corr_embed(c, a), agg, corr)
 
     def stage_guid_proj(agg, guidance):
         pg = jax.nn.relu(conv2d(guidance[0], agg["guidance_proj"]["w"],
