@@ -59,6 +59,17 @@ def _mha(x: jnp.ndarray, bp: dict, heads: int, mask: jnp.ndarray | None) -> jnp.
     """Multi-head self-attention over (B, T, W) with fp32 softmax."""
     B, T, W = x.shape
     D = W // heads
+    from ..kernels.clip_attn import dense_attention_applicable, fused_dense_attention
+
+    if dense_attention_applicable(W, heads, mask):
+        # maskless dense encode at head_dim 64 (ViT-B/L): fused Pallas
+        # attention — the (B, heads, T, T) fp32 logits never touch HBM
+        # (falls back to the identical-math XLA form off-TPU / under GSPMD)
+        q = _linear(x, bp["q_w"], bp["q_b"])
+        k = _linear(x, bp["k_w"], bp["k_b"])
+        v = _linear(x, bp["v_w"], bp["v_b"])
+        out = fused_dense_attention(q, k, v, heads)
+        return _linear(out, bp["out_w"], bp["out_b"])
     q = _linear(x, bp["q_w"], bp["q_b"]).reshape(B, T, heads, D)
     k = _linear(x, bp["k_w"], bp["k_b"]).reshape(B, T, heads, D)
     v = _linear(x, bp["v_w"], bp["v_b"]).reshape(B, T, heads, D)

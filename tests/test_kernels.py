@@ -357,3 +357,29 @@ def test_fused_corr_embed_matches_reference(P, truncate):
         ri, rw = jax.grad(loss_ref, argnums=(0, 1))(img, w)
         np.testing.assert_allclose(np.asarray(gi), np.asarray(ri), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-4)
+
+
+def test_fused_dense_attention_matches_reference():
+    """CLIP dense-encode attention kernel (head pairs as 128-lane chunks,
+    S -> Sp pad via -1e9 key mask) vs the plain-XLA maskless MHA."""
+    import jax
+    from catseg_tpu.kernels.clip_attn import (_pallas, _reference,
+                                              dense_attention_applicable,
+                                              fused_dense_attention)
+
+    B, S, W, heads = 2, 50, 256, 4  # S pads to 64; W/heads = 64 (two chunks)
+    assert dense_attention_applicable(W, heads, None)
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(B, S, W).astype(np.float32) * 0.3)
+               for _ in range(3))
+    got = np.asarray(_pallas(q, k, v, heads, interpret=True))
+    want = np.asarray(_reference(q, k, v, heads))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+    # custom-VJP backward (XLA recompute) against autodiff of the reference
+    g_f = jax.grad(lambda q: jnp.sum(jnp.tanh(
+        fused_dense_attention(q, k, v, heads))))(q)
+    g_r = jax.grad(lambda q: jnp.sum(jnp.tanh(
+        _reference(q, k, v, heads))))(q)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=2e-5, rtol=2e-5)
