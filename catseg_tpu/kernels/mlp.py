@@ -69,6 +69,9 @@ def gelu_exact_grad(x):
 
 
 def _act(x, kind: str):
+    import os
+    if os.environ.get("CATSEG_ACT_ABLATE"):  # CATSEG_ACT_ABLATE: measurement hook
+        kind = os.environ["CATSEG_ACT_ABLATE"]
     if kind == "gelu":
         return gelu_exact(x)
     return jnp.maximum(x, 0.0)
