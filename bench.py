@@ -42,10 +42,12 @@ PEAK_HBM_GBPS = 819.0  # v5e HBM bandwidth, for the per-stage roofline
 MIN_S_PER_IMAGE = 0.010
 _T0 = time.time()
 # Wall budget: the driver runs `python bench.py` with no visible timeout
-# (BENCH_r02 ran >305 s before its own abort); secondaries stream one JSON
-# line each as they finish, so even an external kill keeps everything
-# completed so far.
-TOTAL_BUDGET_S = 560.0
+# (BENCH_r02 ran >305 s before its own abort, BENCH_r04 ran 538 s to
+# completion); secondaries stream one JSON line each as they finish, so even
+# an external kill keeps everything completed so far.  640 s fits the
+# primary (~90 s) plus the floor costs of all 8 secondaries (~505 s) when
+# the persistent compile cache is warm.
+TOTAL_BUDGET_S = 640.0
 
 
 def _log(msg):
@@ -303,34 +305,55 @@ def measure_stages(cfg, T, batch, reps, stream_name=None):
 
 
 def _secondary_registry():
-    """name -> zero-arg measurement, for --only subprocess runs.
+    """name -> (floor_s, measurement fn taking a timing budget in seconds).
 
-    Ordered by information value: results stream one JSON line per
-    completion, so if the wall deadline lands mid-list the earlier (more
-    important) entries survive."""
+    ``floor_s`` estimates the MINIMUM wall cost of the entry (init + warm-
+    cache compile + a floor timing loop); the scheduler in ``_run_only``
+    reserves the floors of everything still queued before sizing the current
+    entry's budget, so ONE slow secondary can no longer starve the rest
+    (rounds 1-4 each lost tiers or the train step to a shared deadline).
+
+    Ordered by information value: the four entries that have NEVER landed in
+    a driver artifact (train step / ViT-L / T=847 / ViT-H — VERDICT r4 item
+    1) go first, then the stage profile, then the batch/noise diagnostics."""
     from catseg_tpu.configs import vitb384, vitl336, vith336, eval_preset
 
     return {
-        "stages_vitb384_T150": lambda: measure_stages(
-            eval_preset(vitb384()), T=150, batch=2, reps=12,
-            stream_name="stages_vitb384_T150"),
-        "train_step_vitb384": lambda: measure_train(vitb384(), batch=(4, 8), budget_s=10.0),
-        "vitb384_T150_batch4": lambda: measure_eval(
-            eval_preset(vitb384()), T=150, budget_s=12.0, batch=4, n_per_round=8),
-        "vitl336_T150": lambda: measure_eval(eval_preset(vitl336()), T=150, budget_s=12.0),
-        "vitb384_T847_topk": lambda: measure_eval(eval_preset(vitb384()), T=847, budget_s=12.0),
-        "vith336_T150": lambda: measure_eval(
-            eval_preset(vith336()), T=150, budget_s=12.0, batch=1, n_per_round=4),
-        "vitb384_T150_batch1": lambda: measure_eval(eval_preset(vitb384()), T=150, budget_s=12.0),
-        "vitb384_T150_noise_input": lambda: measure_eval(
-            eval_preset(vitb384()), T=150, budget_s=12.0, batch=2, n_per_round=8, noise=True),
+        "train_step_vitb384": (70, lambda b: measure_train(
+            vitb384(), batch=(4, 8), budget_s=max(5.0, b / 2 - 10))),
+        "vitl336_T150": (55, lambda b: measure_eval(
+            eval_preset(vitl336()), T=150, budget_s=b)),
+        "vitb384_T847_topk": (55, lambda b: measure_eval(
+            eval_preset(vitb384()), T=847, budget_s=b)),
+        "vith336_T150": (65, lambda b: measure_eval(
+            eval_preset(vith336()), T=150, budget_s=b, batch=1, n_per_round=4)),
+        "stages_vitb384_T150": (150, lambda b: measure_stages(
+            eval_preset(vitb384()), T=150, batch=2, reps=8,
+            stream_name="stages_vitb384_T150")),
+        "vitb384_T150_batch4": (40, lambda b: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=b, batch=4, n_per_round=8)),
+        "vitb384_T150_batch1": (35, lambda b: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=b)),
+        "vitb384_T150_noise_input": (35, lambda b: measure_eval(
+            eval_preset(vitb384()), T=150, budget_s=b, batch=2, n_per_round=8,
+            noise=True)),
     }
 
 
-def _run_only(names: str) -> None:
+# default timing budget per secondary (seconds); the scheduler shrinks it
+# when the remaining wall minus the floors of the still-queued entries is
+# smaller, and grows it for the LAST entries if time is left over
+_SECONDARY_BUDGET_S = 12.0
+
+
+def _run_only(names: str, deadline: float) -> None:
     """Subprocess entry: run the comma-separated secondaries in order,
     streaming one ``{"name": ..., "result": ...}`` JSON line per completion
-    (so a timeout mid-list still yields every earlier result)."""
+    (so a timeout mid-list still yields every earlier result).  ``deadline``
+    is an absolute epoch: before each entry the scheduler sets its timing
+    budget to what the deadline allows AFTER reserving the floor cost of
+    every entry still queued, and skips (with an explicit record) entries
+    whose floor no longer fits."""
     _setup_compile_cache()
     # back-to-back process starts trigger transient FAILED_PRECONDITION, and
     # the tunnel goes dark intermittently — in which case the probe HANGS
@@ -363,10 +386,24 @@ def _run_only(names: str) -> None:
             _log(f"subprocess device probe still pending after {waited:.0f}s "
                  "(tunnel dark?)")
     registry = _secondary_registry()
-    for name in names.split(","):
-        _log(f"secondary: {name}")
+    entries = [(n, *registry[n]) for n in names.split(",")]
+    for i, (name, floor, fn) in enumerate(entries):
+        remaining = deadline - time.time()
+        later_floor = sum(f for _, f, _ in entries[i + 1:])
+        avail = remaining - later_floor
+        if avail < floor * 0.6:
+            _log(f"secondary: {name} skipped ({remaining:.0f}s left, "
+                 f"{later_floor:.0f}s reserved for {len(entries) - i - 1} queued)")
+            print(json.dumps({"name": name,
+                              "result": f"skipped: budget ({remaining:.0f}s left)"}),
+                  flush=True)
+            continue
+        # timing budget = available wall minus this entry's own fixed costs
+        budget = max(5.0, min(_SECONDARY_BUDGET_S, avail - floor + _SECONDARY_BUDGET_S))
+        _log(f"secondary: {name} (timing budget {budget:.0f}s, "
+             f"{remaining:.0f}s wall left)")
         try:
-            result = registry[name]()
+            result = fn(budget)
         except Exception as e:  # keep going: one bad variant must not sink the rest
             result = f"error: {type(e).__name__}: {e}"
         print(json.dumps({"name": name, "result": result}), flush=True)
@@ -461,8 +498,13 @@ def main():
         try:
             # stderr inherits: the child's per-secondary _log timestamps
             # stream into the driver log instead of vanishing on success
+            # the child gets an absolute self-scheduling deadline slightly
+            # inside the hard kill, so it degrades by shrinking/skipping
+            # entries instead of being killed mid-measurement
+            child_deadline = time.time() + remaining - 30
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--only", ",".join(names)],
+                [sys.executable, os.path.abspath(__file__), "--only", ",".join(names),
+                 "--deadline", f"{child_deadline:.0f}"],
                 stdout=subprocess.PIPE, text=True, timeout=remaining - 20,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             stdout = proc.stdout or ""
@@ -507,8 +549,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--only":
-        _run_only(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        dl = (float(sys.argv[4]) if len(sys.argv) == 5 and sys.argv[3] == "--deadline"
+              else time.time() + TOTAL_BUDGET_S)
+        _run_only(sys.argv[2], dl)
     else:
         try:
             main()

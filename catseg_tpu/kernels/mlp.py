@@ -70,8 +70,18 @@ def gelu_exact_grad(x):
 
 def _act(x, kind: str):
     import os
-    if os.environ.get("CATSEG_ACT_ABLATE"):  # CATSEG_ACT_ABLATE: measurement hook
-        kind = os.environ["CATSEG_ACT_ABLATE"]
+    ablate = os.environ.get("CATSEG_ACT_ABLATE")
+    if ablate:  # measurement hook: override the production activation
+        if ablate not in ("gelu", "relu"):
+            raise ValueError(
+                f"CATSEG_ACT_ABLATE={ablate!r}: must be 'gelu' or 'relu'")
+        import warnings
+        warnings.warn(
+            f"CATSEG_ACT_ABLATE={ablate} overrides the production activation "
+            "(numerics will NOT match the reference); the choice is baked into "
+            "the pjit cache at trace time — use a fresh process per setting.",
+            stacklevel=2)
+        kind = ablate
     if kind == "gelu":
         return gelu_exact(x)
     return jnp.maximum(x, 0.0)

@@ -376,10 +376,12 @@ def test_fused_dense_attention_matches_reference():
     want = np.asarray(_reference(q, k, v, heads))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
-    # custom-VJP backward (XLA recompute) against autodiff of the reference
-    g_f = jax.grad(lambda q: jnp.sum(jnp.tanh(
-        fused_dense_attention(q, k, v, heads))))(q)
-    g_r = jax.grad(lambda q: jnp.sum(jnp.tanh(
-        _reference(q, k, v, heads))))(q)
-    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
-                               atol=2e-5, rtol=2e-5)
+    # custom-VJP backward (hand-written dq/dk/dv formulas) against autodiff
+    # of the reference, for ALL THREE inputs (advisor r4: dk/dv were untested)
+    g_f = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(
+        fused_dense_attention(q, k, v, heads))), argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(
+        _reference(q, k, v, heads))), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-5, rtol=2e-5, err_msg=f"d{name}")
