@@ -57,10 +57,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .mlp import _act
 
 
-def _ln(x32, g, b, eps=1e-5):
+def _ln(x32, g, b, eps=1e-5, fast=False):
+    """LayerNorm on fp32 rows.  ``fast`` (bf16 compute paths) uses the
+    single-pass variance E[x^2] - mu^2 — one fewer full VPU pass over the
+    activation (measured ~1.4 ms/pair at eval shapes).  fp32 cancellation
+    error is ~eps*mu^2 (abs) — with bf16 inputs the variance is already
+    quantization-limited at ~1e-3 relative, so the shortcut is invisible;
+    fp32 compute keeps the two-pass form for oracle-level parity."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    if fast:
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     return (x32 - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _softmax_rows(logits, fast):
+    """Row softmax of fp32 logits.  ``fast`` skips the max-subtraction pass:
+    exact in real arithmetic, and safe here because logits are clamped at 60
+    (exp(60)*N << fp32 max) and every query row has at least one entry
+    within exp-range (the shift mask never masks a token against its own
+    region).  Saves ~1 ms/pair at eval shapes."""
+    if fast:
+        e = jnp.exp(jnp.minimum(logits, 60.0))
+    else:
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - mx)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
 def _partition_indices(H: int, W: int, win: int, shift: int) -> np.ndarray:
@@ -106,9 +129,10 @@ def _window_attn(q, k, v, mask, heads: int, scale: float, G: int, nW: int, N: in
     if mask is not None:
         mh = jnp.tile(mask, (1, heads, 1))  # (nW, heads*N, N), row h*N+n = mask[n]
         logits = logits + jnp.tile(mh, (G, 1, 1))
-    mx = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - mx)
-    attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+    if _ABLATE == "nosoftmax":
+        attn = (logits * 0.01).astype(q.dtype)
+    else:
+        attn = _softmax_rows(logits, fast=q.dtype == jnp.bfloat16).astype(q.dtype)
     out = jax.lax.dot_general(
         attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
@@ -122,6 +146,8 @@ def _permute_slabs(P, x, G: int, HW: int, transpose: bool = False):
 
     0/1-matrix matmuls are bit-exact row copies (1.0*v products, +0 sums),
     so moving the residual stream through them preserves parity."""
+    if _ABLATE == "noperm":
+        return x
     dn = (((0,), (0,)), ((), ())) if transpose else (((1,), (0,)), ((), ()))
     return jnp.concatenate(
         [jax.lax.dot_general(P, x[g * HW : (g + 1) * HW], dimension_numbers=dn,
@@ -137,22 +163,37 @@ def _one_block_noperm(x, qg, kg, p, mask, heads: int, G: int, HW: int, nW: int, 
     permutation matmuls — see _kernel).  qg/kg pre-permuted per image."""
     C = x.shape[-1]
     scale = (C // heads) ** -0.5
-    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"]).astype(x.dtype)
-    qkv = jnp.dot(y, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
-    qkv = qkv.astype(x.dtype)
-    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
-    if qg is not None:
-        q = (q.reshape(G, HW, C) + qg.astype(x.dtype)[None]).reshape(G * HW, C)
-        k = (k.reshape(G, HW, C) + kg.astype(x.dtype)[None]).reshape(G * HW, C)
-    out = _window_attn(
-        q.reshape(G * nW, N, C), k.reshape(G * nW, N, C), v.reshape(G * nW, N, C),
-        mask, heads, scale, G, nW, N,
-    ).reshape(G * HW, C)
-    out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
-    x = x + out.astype(x.dtype)
-    y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"]).astype(x.dtype)
+    fast = x.dtype == jnp.bfloat16
+    y = _ln(x.astype(jnp.float32), p["ln1_g"], p["ln1_b"], fast=fast).astype(x.dtype)
+    if _ABLATE == "noattn":
+        x = x + y
+    else:
+        qkv = jnp.dot(y, p["qkv_w"], preferred_element_type=jnp.float32) + p["qkv_b"]
+        qkv = qkv.astype(x.dtype)
+        q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
+        if qg is not None:
+            q = (q.reshape(G, HW, C) + qg.astype(x.dtype)[None]).reshape(G * HW, C)
+            k = (k.reshape(G, HW, C) + kg.astype(x.dtype)[None]).reshape(G * HW, C)
+        if _ABLATE == "noattnmm":
+            out = v
+        else:
+            out = _window_attn(
+                q.reshape(G * nW, N, C), k.reshape(G * nW, N, C), v.reshape(G * nW, N, C),
+                mask, heads, scale, G, nW, N,
+            ).reshape(G * HW, C)
+        out = jnp.dot(out, p["proj_w"], preferred_element_type=jnp.float32) + p["proj_b"]
+        x = x + out.astype(x.dtype)
+    if _ABLATE == "nomlp":
+        return x
+    if _ABLATE == "noln2":
+        y = x
+    else:
+        y = _ln(x.astype(jnp.float32), p["ln2_g"], p["ln2_b"], fast=fast).astype(x.dtype)
     h = jnp.dot(y, p["fc1_w"], preferred_element_type=jnp.float32) + p["fc1_b"]
-    h = _act(h, "gelu").astype(x.dtype)
+    if _ABLATE == "nogelu":
+        h = h.astype(x.dtype)
+    else:
+        h = _act(h, "gelu", fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     o = jnp.dot(h, p["fc2_w"], preferred_element_type=jnp.float32) + p["fc2_b"]
     return x + o.astype(x.dtype)
 
@@ -164,9 +205,12 @@ _P_KEYS = ("ln1_g", "ln1_b", "qkv_w", "qkv_b", "proj_w", "proj_b",
 # ----------------------------------------------------------------- backward
 
 
-def _ln_stats(x32, eps=1e-5):
+def _ln_stats(x32, eps=1e-5, fast=False):
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    if fast:
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     r = jax.lax.rsqrt(var + eps)
     return (x32 - mu) * r, r
 
@@ -182,11 +226,12 @@ def _ln_bwd(dy32, xhat, r, g):
     return dx, dg, db
 
 
-def _gelu_grad(h1):
-    """d/dx of exact GELU at f32 h1 (FMA-only polynomial, see mlp.py)."""
-    from .mlp import gelu_exact_grad
+def _gelu_grad(h1, fast: bool):
+    """d/dx of the forward's GELU at f32 h1 (exact poly for fp32 compute,
+    tanh form for bf16 — must match what the forward evaluated, see mlp.py)."""
+    from .mlp import _act_grad
 
-    return gelu_exact_grad(h1)
+    return _act_grad(h1, "gelu", fast=fast)
 
 
 def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int, N: int):
@@ -204,8 +249,9 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     C = x.shape[-1]
     scale = (C // heads) ** -0.5
     f32 = jnp.float32
+    fast = x.dtype == jnp.bfloat16
     # ---- forward recompute (same rounding as _one_block_noperm)
-    xh1, r1 = _ln_stats(x.astype(f32))
+    xh1, r1 = _ln_stats(x.astype(f32), fast=fast)
     y1 = (xh1 * p["ln1_g"] + p["ln1_b"]).astype(x.dtype)
     yp = y1 if P is None else jnp.concatenate(
         [jnp.dot(P, y1[g * HW : (g + 1) * HW], preferred_element_type=f32).astype(x.dtype)
@@ -228,9 +274,7 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     if mask is not None:
         mh = jnp.tile(mask, (1, heads, 1))
         S = S + jnp.tile(mh, (G, 1, 1))
-    mx = jnp.max(S, axis=-1, keepdims=True)
-    e = jnp.exp(S - mx)
-    A32 = e / jnp.sum(e, axis=-1, keepdims=True)
+    A32 = _softmax_rows(S, fast=fast)
     A = A32.astype(x.dtype)
     OF = jax.lax.dot_general(A, vw, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=f32).astype(x.dtype)
@@ -242,10 +286,10 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
          for g in range(G)], axis=0)
     outl = jnp.dot(o, p["proj_w"], preferred_element_type=f32) + p["proj_b"]
     x2 = x + outl.astype(x.dtype)
-    xh2, r2 = _ln_stats(x2.astype(f32))
+    xh2, r2 = _ln_stats(x2.astype(f32), fast=fast)
     y2 = (xh2 * p["ln2_g"] + p["ln2_b"]).astype(x.dtype)
     h1 = jnp.dot(y2, p["fc1_w"], preferred_element_type=f32) + p["fc1_b"]
-    hg = _act(h1, "gelu").astype(x.dtype)
+    hg = _act(h1, "gelu", fast=x.dtype == jnp.bfloat16).astype(x.dtype)
 
     # ---- backward
     d3 = dout.astype(f32)
@@ -255,7 +299,7 @@ def _block_bwd(x, dout, qg, kg, p, mask, P, heads: int, G: int, HW: int, nW: int
     dfc2_b = jnp.sum(d3, axis=0, keepdims=True)
     dh = jax.lax.dot_general(dc, p["fc2_w"], dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
-    dh1 = dh * _gelu_grad(h1)
+    dh1 = dh * _gelu_grad(h1, fast=x.dtype == jnp.bfloat16)
     dh1c = dh1.astype(x.dtype)
     dfc1_w = jax.lax.dot_general(y2, dh1c, dimension_numbers=(((0,), (0,)), ((), ())),
                                  preferred_element_type=f32)
@@ -365,6 +409,15 @@ def _flat_params(p, dtype):
 # caches on function identity, so in-process sweeps silently reuse the
 # first executable (see dev notes).
 _G_OVERRIDE = int(os.environ.get("CATSEG_SWIN_G", "2"))
+# measurement-only ablation hook (numerics become GARBAGE when set): skips
+# one component of the fused pair so its wall cost can be attributed on the
+# real chip.  Trace-time like CATSEG_ACT_ABLATE: fresh process per setting.
+_ABLATE = os.environ.get("CATSEG_SWIN_ABLATE", "")
+if _ABLATE:
+    import warnings
+
+    warnings.warn(f"CATSEG_SWIN_ABLATE={_ABLATE}: swin kernel numerics are "
+                  "intentionally wrong (profiling hook)", stacklevel=1)
 # scoped-VMEM ceiling for the kernel (the 16 MB default is conservative)
 _VMEM_LIMIT = int(os.environ.get("CATSEG_SWIN_VMEM_MB", "32")) * 1024 * 1024
 # class slabs per backward grid step (the backward holds ~3x the forward's
@@ -601,7 +654,8 @@ def _reference_pair(x, guid4, p1, p2, mask, heads: int, win: int):
 
     def block(xf, qg, kg, p, msk, shift):
         P = {k: p[k].astype(jnp.float32 if k.startswith("ln") else x.dtype) for k in _P_KEYS}
-        y = _ln(xf.astype(jnp.float32), P["ln1_g"], P["ln1_b"]).astype(x.dtype)
+        fast = x.dtype == jnp.bfloat16
+        y = _ln(xf.astype(jnp.float32), P["ln1_g"], P["ln1_b"], fast=fast).astype(x.dtype)
         qkv = jnp.einsum("bnc,cd->bnd", y, P["qkv_w"], preferred_element_type=jnp.float32) + P["qkv_b"]
         qkv = qkv.astype(x.dtype)
         q = qkv[..., :C].reshape(B, T, H, W, C)
@@ -627,7 +681,7 @@ def _reference_pair(x, guid4, p1, p2, mask, heads: int, win: int):
         logits = jnp.einsum("bwqhd,bwkhd->bwhqk", qh, kh, preferred_element_type=jnp.float32) * (D**-0.5)
         if msk is not None:
             logits = logits + msk[None, :, None]
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn = _softmax_rows(logits, fast=fast).astype(x.dtype)
         out = jnp.einsum("bwhqk,bwkhd->bwqhd", attn, vh, preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(B * T, nh, nw, win, win, C).transpose(0, 1, 3, 2, 4, 5).reshape(B * T, H, W, C)
         if shift > 0:
@@ -635,9 +689,9 @@ def _reference_pair(x, guid4, p1, p2, mask, heads: int, win: int):
         out = jnp.einsum("bnc,cd->bnd", out.reshape(B * T, H * W, C), P["proj_w"],
                          preferred_element_type=jnp.float32) + P["proj_b"]
         xf2 = xf + out.astype(x.dtype)
-        y = _ln(xf2.astype(jnp.float32), P["ln2_g"], P["ln2_b"]).astype(x.dtype)
+        y = _ln(xf2.astype(jnp.float32), P["ln2_g"], P["ln2_b"], fast=fast).astype(x.dtype)
         h = jnp.einsum("bnc,cd->bnd", y, P["fc1_w"], preferred_element_type=jnp.float32) + P["fc1_b"]
-        h = _act(h, "gelu").astype(x.dtype)
+        h = _act(h, "gelu", fast=x.dtype == jnp.bfloat16).astype(x.dtype)
         o = jnp.einsum("bnc,cd->bnd", h, P["fc2_w"], preferred_element_type=jnp.float32) + P["fc2_b"]
         return xf2 + o.astype(x.dtype)
 
