@@ -41,6 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-6
 
+# measurement-only ablation hook (numerics become GARBAGE when set): skips a
+# component of the fused layer to attribute wall cost on-chip.  Trace-time;
+# fresh process per setting.
+import os as _os
+
+_ABLATE = _os.environ.get("CATSEG_CLASS_ABLATE", "")
+if _ABLATE:
+    import warnings
+
+    warnings.warn(f"CATSEG_CLASS_ABLATE={_ABLATE}: class kernel numerics are "
+                  "intentionally wrong (profiling hook)", stacklevel=1)
+
 
 def _elu1(x):
     # jax.nn.elu uses expm1, which Mosaic lacks; exp is exact enough here
@@ -82,11 +94,18 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
         x3 = x_ref[0, :, r].transpose((1, 0, 2))              # (W, T, C)
         x = x3.reshape(W * T, C)
         x32 = x.astype(jnp.float32)
+        fast = x.dtype == jnp.bfloat16
         mu = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        if fast:  # single-pass variance: one fewer VPU pass (see swin_block._ln)
+            var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+        else:
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
         y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(x.dtype)
 
-        qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
+        if _ABLATE == "noqkv":
+            qkv = jnp.concatenate([y.astype(jnp.float32)] * 3, axis=-1)
+        else:
+            qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=jnp.float32) + qkvb_ref[0]
         qkv3 = qkv.reshape(W, T, 3 * C)
         q = qkv3[..., :C]
         k = qkv3[..., C : 2 * C]
@@ -94,31 +113,55 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
         if has_guid:
             q = q + qgv[None]     # (T, C) broadcast over W
             k = k + kgv[None]
-        Q = _elu1(q)              # (W, T, C) fp32
-        K = _elu1(k)
-        kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=jnp.float32)  # (W, C, C)
-        kv = kv * bd[None] + padkv[None]
-        # sublane reduce of K is unimplemented in Mosaic; a ones-row
-        # contraction computes the same per-position (1, C) sum on the MXU
-        ksum = jax.lax.dot_general(jnp.ones((W, 1, T), jnp.float32), K,
-                                   dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32) + padks[None]
-        z = jnp.dot((Q * ksum).reshape(W * T, C), bd,
-                    preferred_element_type=jnp.float32)  # per-head sums
-        attn = jax.lax.dot_general(Q, kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                                   preferred_element_type=jnp.float32)
-        attn_all = attn.reshape(W * T, C) * (Tp / (z + _EPS))
-        seq = (x32 + attn_all).astype(x.dtype)
+        if _ABLATE == "noattn":
+            seq = (x32 + q.reshape(W * T, C)).astype(x.dtype)
+        else:
+            if _ABLATE == "noelu":
+                Q, K = q, k
+            else:
+                Q = _elu1(q)          # (W, T, C) fp32
+                K = _elu1(k)
+            if _ABLATE == "nokv":
+                kv = jnp.broadcast_to(padkv[None], (W, C, C))
+            else:
+                kv = jax.lax.dot_general(K, v / Tp, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                                         preferred_element_type=jnp.float32)  # (W, C, C)
+                kv = kv * bd[None] + padkv[None]
+            # sublane reduce of K is unimplemented in Mosaic; a ones-row
+            # contraction computes the same per-position (1, C) sum on the MXU
+            if _ABLATE == "noksum":
+                ksum = jnp.broadcast_to(padks[None], (W, 1, C))
+            else:
+                ksum = jax.lax.dot_general(jnp.ones((W, 1, T), jnp.float32), K,
+                                           dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                           preferred_element_type=jnp.float32) + padks[None]
+            z = jnp.dot((Q * ksum).reshape(W * T, C), bd,
+                        preferred_element_type=jnp.float32)  # per-head sums
+            if _ABLATE == "noattnmm":
+                attn = Q
+            else:
+                attn = jax.lax.dot_general(Q, kv, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                           preferred_element_type=jnp.float32)
+            if _ABLATE == "nodiv":
+                attn_all = attn.reshape(W * T, C) + z
+            else:
+                attn_all = attn.reshape(W * T, C) * (Tp / (z + _EPS))
+            seq = (x32 + attn_all).astype(x.dtype)
 
-        s32 = seq.astype(jnp.float32)
-        mu = jnp.mean(s32, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
-        y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0] + ln2b_ref[0]).astype(x.dtype)
-        h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
-        h = jnp.maximum(h, 0.0).astype(x.dtype)
-        o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
-        out = (seq + o.astype(x.dtype)).reshape(W, T, C)
+        if _ABLATE == "nomlp":
+            out = seq.reshape(W, T, C)
+        else:
+            s32 = seq.astype(jnp.float32)
+            mu = jnp.mean(s32, axis=-1, keepdims=True)
+            if fast:
+                var = jnp.mean(jnp.square(s32), axis=-1, keepdims=True) - mu * mu
+            else:
+                var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
+            y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0] + ln2b_ref[0]).astype(x.dtype)
+            h = jnp.dot(y2, m1w_ref[:], preferred_element_type=jnp.float32) + m1b_ref[0]
+            h = jnp.maximum(h, 0.0).astype(x.dtype)
+            o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
+            out = (seq + o.astype(x.dtype)).reshape(W, T, C)
         o_ref[0, :, r] = out.transpose((1, 0, 2))
         return carry
 
@@ -155,9 +198,12 @@ def _elu1_grad(x):
     return jnp.where(x > 0, 1.0, jnp.exp(jnp.minimum(x, 0.0)))
 
 
-def _ln_fwd(x32, g, b):
+def _ln_fwd(x32, g, b, fast=False):
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    if fast:
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     r = jax.lax.rsqrt(var + 1e-5)
     xh = (x32 - mu) * r
     return xh * g + b, xh, r
@@ -192,7 +238,8 @@ def _bwd_kernel(x_ref, g_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     x = x3.reshape(T * W, C)
     dout = g_ref[0, :, 0].reshape(T * W, C)
     x32 = x.astype(f32)
-    y1f, xh1, r1 = _ln_fwd(x32, ln1g_ref[0], ln1b_ref[0])
+    fast = x.dtype == jnp.bfloat16
+    y1f, xh1, r1 = _ln_fwd(x32, ln1g_ref[0], ln1b_ref[0], fast=fast)
     y = y1f.astype(x.dtype)
     qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=f32) + qkvb_ref[0]
     qkv3 = qkv.reshape(T, W, 3 * C)
@@ -233,7 +280,7 @@ def _bwd_kernel(x_ref, g_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     attn_all = jnp.stack(attn_cols, axis=1).reshape(T * W, C)
     seq32 = x32 + attn_all
     seq = seq32.astype(x.dtype)
-    y2f, xh2, r2 = _ln_fwd(seq32, ln2g_ref[0], ln2b_ref[0])
+    y2f, xh2, r2 = _ln_fwd(seq32, ln2g_ref[0], ln2b_ref[0], fast=fast)
     y2 = y2f.astype(x.dtype)
     h1 = jnp.dot(y2, m1w_ref[:], preferred_element_type=f32) + m1b_ref[0]
     hg = jnp.maximum(h1, 0.0).astype(x.dtype)
@@ -424,8 +471,12 @@ def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     B, HW, T, C = x_pm.shape
     D = C // heads
     x32 = x_pm.astype(jnp.float32)
+    fast = x_pm.dtype == jnp.bfloat16
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    if fast:
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln1_g"] + p["ln1_b"]).astype(x_pm.dtype)
     qkv_w = jnp.concatenate([p["q_w"][:C], p["k_w"][:C], p["v_w"]], axis=1).astype(x_pm.dtype)
     qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]])
@@ -447,7 +498,10 @@ def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     seq = (x32 + attn.reshape(B, HW, T, C)).astype(x_pm.dtype)
     s32 = seq.astype(jnp.float32)
     mu = jnp.mean(s32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
+    if fast:
+        var = jnp.mean(jnp.square(s32), axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(s32 - mu), axis=-1, keepdims=True)
     y2 = ((s32 - mu) * jax.lax.rsqrt(var + 1e-5) * p["ln2_g"] + p["ln2_b"]).astype(x_pm.dtype)
     h = jnp.einsum("bntc,cd->bntd", y2, p["mlp1_w"].astype(x_pm.dtype),
                    preferred_element_type=jnp.float32) + p["mlp1_b"]

@@ -50,6 +50,15 @@ negated phase carries.  Verified against jax.vjp of the XLA composition
 from __future__ import annotations
 
 import functools
+import os as _os
+
+# measurement-only ablation hook (numerics become GARBAGE when set)
+_ABLATE = _os.environ.get("CATSEG_DEC_ABLATE", "")
+if _ABLATE:
+    import warnings
+
+    warnings.warn(f"CATSEG_DEC_ABLATE={_ABLATE}: decoder kernel numerics are "
+                  "intentionally wrong (profiling hook)", stacklevel=1)
 
 import numpy as np
 import jax
@@ -303,7 +312,7 @@ def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype,
                 sp, cy, cx = key
                 x = planes[sp]
                 shift = cy * BASE + cx
-                if shift:
+                if shift and _ABLATE != "noroll":
                     packed = pltpu.bitcast(x, jnp.int32)
                     packed = pltpu.roll(packed, (-shift) % x.shape[-1], 1)
                     x = pltpu.bitcast(packed, jnp.bfloat16)
@@ -323,9 +332,19 @@ def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype,
             return cache[key]
 
     wb = wb.astype(dtype)
+    groups = _row_groups(depth)
+    cout = wb.shape[1] // (1 << depth)
+    if _ABLATE == "noconv":
+        return x_f32[:len(groups) * (1 << depth) * cout] * 1.0001
     outs = []
-    for g, (_, keys, _) in enumerate(_row_groups(depth)):
-        stacked = jnp.concatenate([rolled(k) for k in keys], axis=0)
+    shared = None
+    for g, (_, keys, _) in enumerate(groups):
+        if _ABLATE == "onestack":
+            if shared is None:
+                shared = jnp.concatenate([rolled(k) for k in keys], axis=0)
+            stacked = shared
+        else:
+            stacked = jnp.concatenate([rolled(k) for k in keys], axis=0)
         outs.append(jax.lax.dot_general(
             wb[g], stacked, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
@@ -361,6 +380,9 @@ def _gn_stats(h, C: int, P: int, valid, n_groups: int, S: int = 1):
     Mosaic note: multi-axis keepdims reductions over >2D reshapes crash
     layout inference (seen on v5e) — everything here stays 2D.
     """
+    if _ABLATE == "nogn":
+        return (jnp.zeros((n_groups, S), jnp.float32),
+                jnp.ones((n_groups, S), jnp.float32))
     hm = jnp.where(valid, h, 0.0)
     sel = _gn_selT(C, P, n_groups)                            # (P*C, G)
     cnt = float(P * (C // n_groups) * (BASE * BASE))
@@ -368,11 +390,19 @@ def _gn_stats(h, C: int, P: int, valid, n_groups: int, S: int = 1):
         rs1 = jnp.sum(hm, axis=1, keepdims=True)              # (P*C, 1)
         rs2 = jnp.sum(hm * hm, axis=1, keepdims=True)
     else:
-        seg = _seg_matrix(S)                                  # (S*L, S)
-        rs1 = jax.lax.dot_general(hm, seg, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        rs2 = jax.lax.dot_general(hm * hm, seg, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        # per-slab row sums via L-aligned lane slices + plain lane
+        # reductions.  The r4 form was a (P*C, S*L) @ (S*L, S) segment
+        # matmul whose N = S output lanes pad to 128 on the MXU — each of
+        # the two stats matmuls cost as much as a full 128-wide gemm
+        # (~4.7 ms of the 23 ms eval decoder in the r5 ablation, the
+        # second-largest component after the convs themselves).
+        hm2 = hm * hm
+        rs1 = jnp.concatenate(
+            [jnp.sum(hm[:, i * L:(i + 1) * L], axis=1, keepdims=True)
+             for i in range(S)], axis=1)                      # (P*C, S)
+        rs2 = jnp.concatenate(
+            [jnp.sum(hm2[:, i * L:(i + 1) * L], axis=1, keepdims=True)
+             for i in range(S)], axis=1)
     mean = jax.lax.dot_general(sel, rs1, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32) / cnt
     s2 = jax.lax.dot_general(sel, rs2, (((0,), (0,)), ((), ())),
@@ -391,6 +421,8 @@ def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int,
     refs: (C, 1).  The normalize runs as ONE fused affine pass: per-row,
     per-slab scale/shift expanded to lanes by a segment matmul.
     """
+    if _ABLATE == "nogn":
+        return jnp.where(valid, jnp.maximum(h, 0.0), 0.0)
     if stats is None:
         stats = _gn_stats(h, C, P, valid, n_groups, S)
     mean, inv = stats                                         # (G, S) each
@@ -521,7 +553,10 @@ def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1,
     st4 = _gn_stats(c4, 32, 16, valid, 2, S)
     h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4, S)
 
-    out = conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
+    if _ABLATE == "nohead":
+        out = h4[:16]
+    else:
+        out = conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
     if keep:
         return out, (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4)
     return out

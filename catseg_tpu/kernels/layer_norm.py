@@ -22,10 +22,20 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE = 512
 
 
+def _var(x32, mean, fast: bool):
+    """fp32 row variance; ``fast`` (bf16 compute) = single-pass E[x^2]-mu^2 —
+    one fewer VPU pass, error ~eps_f32*mu^2 (below bf16 input quantization);
+    fp32 compute keeps the two-pass form for oracle parity (see
+    swin_block._ln for the measured rationale)."""
+    if fast:
+        return jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mean * mean
+    return jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+
+
 def _kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    var = _var(x, mean, x_ref.dtype == jnp.bfloat16)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     o_ref[:] = (y * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -50,7 +60,7 @@ def _pallas_ln(x2d, g, b, eps: float, interpret: bool):
 def _reference_ln(x, g, b, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    var = _var(x32, mean, x.dtype == jnp.bfloat16)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
 
@@ -81,7 +91,7 @@ def _bwd(eps, res, dy):
     x32 = x.astype(jnp.float32)
     dy32 = dy.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    var = _var(x32, mean, x.dtype == jnp.bfloat16)
     inv = jax.lax.rsqrt(var + eps)
     xhat = (x32 - mean) * inv
     dgam = jnp.sum(dy32 * xhat, axis=tuple(range(x.ndim - 1)))
