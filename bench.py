@@ -389,17 +389,19 @@ def _run_only(names: str, deadline: float) -> None:
     entries = [(n, *registry[n]) for n in names.split(",")]
     for i, (name, floor, fn) in enumerate(entries):
         remaining = deadline - time.time()
-        later_floor = sum(f for _, f, _ in entries[i + 1:])
-        avail = remaining - later_floor
-        if avail < floor * 0.6:
-            _log(f"secondary: {name} skipped ({remaining:.0f}s left, "
-                 f"{later_floor:.0f}s reserved for {len(entries) - i - 1} queued)")
+        # Entries are ordered by information value, so an earlier entry is
+        # NEVER skipped to reserve wall for later ones (the first version of
+        # this scheduler did, and a cold compile cache priority-inverted the
+        # whole list).  Skip only when this entry itself no longer fits.
+        if remaining < floor * 0.6:
+            _log(f"secondary: {name} skipped ({remaining:.0f}s left < "
+                 f"0.6*floor {floor}s)")
             print(json.dumps({"name": name,
                               "result": f"skipped: budget ({remaining:.0f}s left)"}),
                   flush=True)
             continue
-        # timing budget = available wall minus this entry's own fixed costs
-        budget = max(5.0, min(_SECONDARY_BUDGET_S, avail - floor + _SECONDARY_BUDGET_S))
+        # timing budget = what remains after this entry's own fixed costs
+        budget = max(5.0, min(_SECONDARY_BUDGET_S, remaining - floor))
         _log(f"secondary: {name} (timing budget {budget:.0f}s, "
              f"{remaining:.0f}s wall left)")
         try:
