@@ -455,42 +455,39 @@ def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
     """
     gs = C // n_groups
     cnt = float(P * gs * (BASE * BASE))
-    gain = g_ref[:].astype(jnp.float32)
-    bias = b_ref[:].astype(jnp.float32)
     mean_col, inv_col = stats                                 # (G, 1) each
-    dys, xhats = {}, {}
-    gsums = [(jnp.float32(0.0), jnp.float32(0.0)) for _ in range(n_groups)]
-    dgain = [None] * n_groups
-    dbias = [None] * n_groups
-    for p in range(P):
-        for g in range(n_groups):
-            mean, inv = mean_col[g, 0], inv_col[g, 0]
-            r0, r1 = p * C + g * gs, p * C + (g + 1) * gs
-            gg = gain[g * gs:(g + 1) * gs]
-            bb = bias[g * gs:(g + 1) * gs]
-            xhat = (c[r0:r1] - mean) * inv
-            y = xhat * gg + bb
-            dy = jnp.where(valid & (y > 0), dh[r0:r1], 0.0)
-            dyg = dy * gg
-            s1, s2 = gsums[g]
-            gsums[g] = (s1 + jnp.sum(dyg), s2 + jnp.sum(dyg * xhat))
-            dg_rows = jnp.sum(dy * xhat, axis=1, keepdims=True)
-            db_rows = jnp.sum(dy, axis=1, keepdims=True)
-            dgain[g] = dg_rows if dgain[g] is None else dgain[g] + dg_rows
-            dbias[g] = db_rows if dbias[g] is None else dbias[g] + db_rows
-            dys[(p, g)] = dyg
-            xhats[(p, g)] = xhat
-    dc = []
-    for p in range(P):
-        for g in range(n_groups):
-            inv = inv_col[g, 0]
-            s1, s2 = gsums[g]
-            dyg, xhat = dys[(p, g)], xhats[(p, g)]
-            dc.append(jnp.where(
-                valid, inv * (dyg - s1 / cnt - xhat * (s2 / cnt)), 0.0))
-    return (jnp.concatenate(dc, axis=0),
-            jnp.concatenate(dgain, axis=0),
-            jnp.concatenate(dbias, axis=0))
+    # Vectorized over the full (P*C, L) block with the forward's selector
+    # matmuls — the r4 form looped Python-over (P, G) slices (32 chains of
+    # small VPU ops per GN; the decoder backward measured ~1.5x its own
+    # forward at train shapes largely here).
+    selT = _gn_selT(C, P, n_groups)                           # (P*C, G)
+    mean_r = jax.lax.dot_general(selT, mean_col, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (P*C, 1)
+    inv_r = jax.lax.dot_general(selT, inv_col, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    gain_r = jnp.tile(g_ref[:].astype(jnp.float32), (P, 1))   # (P*C, 1)
+    bias_r = jnp.tile(b_ref[:].astype(jnp.float32), (P, 1))
+    xhat = (c - mean_r) * inv_r
+    y = xhat * gain_r + bias_r
+    dy = jnp.where(valid & (y > 0), dh, 0.0)
+    dyg = dy * gain_r
+    rs_dyg = jnp.sum(dyg, axis=1, keepdims=True)              # (P*C, 1)
+    rs_dygx = jnp.sum(dyg * xhat, axis=1, keepdims=True)
+    s1 = jax.lax.dot_general(selT, rs_dyg, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # (G, 1)
+    s2 = jax.lax.dot_general(selT, rs_dygx, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s1_r = jax.lax.dot_general(selT, s1, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    s2_r = jax.lax.dot_general(selT, s2, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dc_all = jnp.where(valid, inv_r * (dyg - s1_r / cnt - xhat * (s2_r / cnt)), 0.0)
+    # per-channel (C, 1) grads: fold the P plane blocks of the row sums
+    rs_dyx = jnp.sum(dy * xhat, axis=1, keepdims=True)        # (P*C, 1)
+    rs_dy = jnp.sum(dy, axis=1, keepdims=True)
+    dgain = sum(rs_dyx[p * C:(p + 1) * C] for p in range(P))
+    dbias = sum(rs_dy[p * C:(p + 1) * C] for p in range(P))
+    return dc_all, dgain, dbias
 
 
 def _up1_planes(x, up1, up1b_ref, valid, dtype):
