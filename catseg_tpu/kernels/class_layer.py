@@ -65,6 +65,159 @@ def _blockdiag(C: int, D: int, dtype):
     return ((row // D) == (col // D)).astype(dtype)
 
 
+# -------------------------------------------------------------- v2 fast path
+#
+# The round-5 ablations measured the (T, W, C) <-> (W, T, C) layout
+# relayouts at ~30% of the whole fused layer and the per-position W-batched
+# attention dots at ~35% — and an fp32-relayout probe showed the transpose
+# cost scales with SUBLANE ROW COUNT, not bytes.  The v2 path (bf16 compute
+# only) halves the relayout rows by bitcasting sublane PAIRS of the W axis
+# into int32 before transposing (the decoder's fast-roll trick,
+# kernels/decoder.py), which lands the data in an interleaved
+# (W/2, 2T, C) layout: row 2t+j of block w2 holds position 2*w2+j, class t.
+# Attention then runs as parity/block-masked SUPERMATRIX matmuls — a chunk
+# of 4 positions becomes one (4T, 4C) lane-tiled operand and its per-head
+# KV blocks come out of ONE row-contraction — so the MXU sees 2 big dots
+# per chunk instead of 24 per-position stationaries (each ~270-cycle weight
+# loads for a ~5 MF dot).  LN / qkv / guidance / elu / MLP hoist out of the
+# chunk loop and run once per image row on (W*T, C) flat rows.
+
+
+def _pair_transpose_in(x3, interpret: bool):
+    """(T, W, C) bf16 -> (W2*2T, C) interleaved rows: out[w2*2T + 2t + j]
+    = x3[t, 2*w2 + j].  Compiled: int32 sublane-pair bitcast halves the
+    relayout's sublane rows; interpret mode emulates the composite map."""
+    T, W, C = x3.shape
+    if interpret:
+        xt = x3.reshape(T, W // 2, 2, C).transpose(1, 0, 2, 3)
+        return xt.reshape(W // 2 * 2 * T, C)
+    xp = pltpu.bitcast(x3, jnp.int32)          # (T, W2, C)
+    xt = xp.transpose((1, 0, 2))               # (W2, T, C)
+    return pltpu.bitcast(xt, x3.dtype).reshape(W // 2 * 2 * T, C)
+
+
+def _pair_transpose_out(xf, T: int, W: int, interpret: bool):
+    """Inverse of :func:`_pair_transpose_in`: (W2*2T, C) -> (T, W, C)."""
+    C = xf.shape[-1]
+    x3 = xf.reshape(W // 2, 2 * T, C)
+    if interpret:
+        return x3.reshape(W // 2, T, 2, C).transpose(1, 0, 2, 3).reshape(T, W, C)
+    xp = pltpu.bitcast(x3, jnp.int32)          # (W2, T, C)
+    xt = xp.transpose((1, 0, 2))               # (T, W2, C)
+    return pltpu.bitcast(xt, xf.dtype)
+
+
+def _kernel_v2(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
+               ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
+               ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
+               o_ref, *, heads: int, Tp: int, has_guid: bool, interpret: bool,
+               plain: bool = False):
+    T, R, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
+    D = C // heads
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    W2 = W // 2
+    # positions per supermatrix chunk (must be even: whole w2 blocks)
+    CW = int(_os.environ.get("CATSEG_CLASS_CW", "4"))
+    while W % CW or CW % 2:
+        CW -= 1
+    NC = W // CW                # chunks per image row
+    rows = W * T                # flat rows per image row
+    cr = CW * T                 # rows per chunk
+    fast = dt == jnp.bfloat16
+
+    bd = _blockdiag(C, D, f32)
+    ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
+    padkv4 = jnp.tile(padkv_ref[:], (CW, 1))          # (4C, C) f32
+    padks = padks_ref[:]                              # (1, C) f32
+
+    # chunk-invariant masks: row r of a chunk holds position q(r) =
+    # 2*(r // (2T)) + (r % 2) (relative), class (r % 2T) // 2; the ``plain``
+    # A/B variant uses a non-interleaved transpose (q(r) = r // T)
+    def qfn(r):
+        return r // T if plain else 2 * (r // (2 * T)) + (r % 2)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (cr, CW * C), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (cr, CW * C), 1)
+    qmask = (qfn(rr) == ll // C).astype(dt)           # (4T, 4C)
+    bd4 = jnp.tile(bd, (CW, 1))                       # (4C, C) f32
+    pr = jax.lax.broadcasted_iota(jnp.int32, (CW, cr), 0)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (CW, cr), 1)
+    sel4 = (pr == qfn(qr)).astype(dt)                 # (CW, 4T)
+    selTb = (jax.lax.broadcasted_iota(jnp.int32, (cr, CW), 1)
+             == qfn(jax.lax.broadcasted_iota(jnp.int32, (cr, CW), 0))).astype(f32)
+
+    if has_guid:
+        # qg/kg arrive pre-interleaved as (B, 2T, C): row 2t+j = class t
+        # (plain variant: (B, T, C), broadcast per position block)
+        qgv = qg_ref[0].astype(f32)
+        kgv = kg_ref[0].astype(f32)
+
+    def row_body(r, carry):
+        xi = x_ref[0, :, r]                           # (T, W, C)
+        if plain:
+            xf = xi.transpose((1, 0, 2)).reshape(rows, C)
+        else:
+            xf = _pair_transpose_in(xi, interpret)    # (W2*2T, C) interleaved
+        x32 = xf.astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        if fast:
+            var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+        else:
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(dt)
+        qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=f32) + qkvb_ref[0]
+        q, k, v = qkv[:, :C], qkv[:, C:2 * C], qkv[:, 2 * C:]
+        if has_guid:
+            gb = (W, T) if plain else (W2, 2 * T)
+            q = (q.reshape(*gb, C) + qgv[None]).reshape(rows, C)
+            k = (k.reshape(*gb, C) + kgv[None]).reshape(rows, C)
+        Q = _elu1(q)
+        K = _elu1(k)
+        Qc = Q.astype(dt)
+        Kc = K.astype(dt)
+        Vc = (v / Tp).astype(dt)
+
+        outs = []
+        for c in range(NC):
+            sl = slice(c * cr, (c + 1) * cr)
+            Qb = jnp.tile(Qc[sl], (1, CW)) * qmask    # (4T, 4C)
+            Kb = jnp.tile(Kc[sl], (1, CW)) * qmask
+            kv = jax.lax.dot_general(Kb, Vc[sl], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)   # (4C, C)
+            kv = (kv * bd4 + padkv4).astype(dt)
+            attn = jax.lax.dot_general(Qb, kv, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f32)  # (4T, C)
+            ks4 = jax.lax.dot_general(sel4, Kc[sl], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32) + padks
+            ksb = jnp.dot(selTb, ks4, preferred_element_type=f32)   # (4T, C)
+            zraw = (Q[sl] * ksb).astype(dt)
+            z = jnp.dot(zraw, bd.astype(dt), preferred_element_type=f32)
+            outs.append(attn * (Tp / (z + _EPS)))
+        attn_all = jnp.concatenate(outs, axis=0)      # (rows, C)
+
+        seq32 = x32 + attn_all
+        seq = seq32.astype(dt)
+        mu = jnp.mean(seq32, axis=-1, keepdims=True)
+        if fast:
+            var = jnp.mean(jnp.square(seq32), axis=-1, keepdims=True) - mu * mu
+        else:
+            var = jnp.mean(jnp.square(seq32 - mu), axis=-1, keepdims=True)
+        y2 = ((seq32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0]
+              + ln2b_ref[0]).astype(dt)
+        h = jnp.dot(y2, m1w_ref[:], preferred_element_type=f32) + m1b_ref[0]
+        h = jnp.maximum(h, 0.0).astype(dt)
+        o = jnp.dot(h, m2w_ref[:], preferred_element_type=f32) + m2b_ref[0]
+        out = (seq + o.astype(dt))
+        if plain:
+            o_ref[0, :, r] = out.reshape(W, T, C).transpose((1, 0, 2))
+        else:
+            o_ref[0, :, r] = _pair_transpose_out(out, T, W, interpret)
+        return carry
+
+    jax.lax.fori_loop(0, R, row_body, 0)
+
+
 def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
             ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
             ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
@@ -90,8 +243,18 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
     # (T, ib, W, C) relayout) — the kernel is bound by the attention dots'
     # per-batch-element pipeline latency, which wider W does not amortize.
 
+    t32 = _os.environ.get("CATSEG_CLASS_T32", "")  # fp32-relayout experiment
+
     def row_body(r, carry):
-        x3 = x_ref[0, :, r].transpose((1, 0, 2))              # (W, T, C)
+        if _ABLATE == "copyonly":
+            o_ref[0, :, r] = x_ref[0, :, r]
+            return carry
+        if _ABLATE == "notrans":
+            x3 = x_ref[0, :, r]                               # (T, W, C) GARBAGE
+        elif t32:
+            x3 = x_ref[0, :, r].astype(jnp.float32).transpose((1, 0, 2)).astype(x_ref.dtype)
+        else:
+            x3 = x_ref[0, :, r].transpose((1, 0, 2))          # (W, T, C)
         x = x3.reshape(W * T, C)
         x32 = x.astype(jnp.float32)
         fast = x.dtype == jnp.bfloat16
@@ -162,7 +325,12 @@ def _kernel(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
             h = jnp.maximum(h, 0.0).astype(x.dtype)
             o = jnp.dot(h, m2w_ref[:], preferred_element_type=jnp.float32) + m2b_ref[0]
             out = (seq + o.astype(x.dtype)).reshape(W, T, C)
-        o_ref[0, :, r] = out.transpose((1, 0, 2))
+        if _ABLATE == "notrans":
+            o_ref[0, :, r] = out.reshape(T, W, C)             # GARBAGE layout
+        elif t32:
+            o_ref[0, :, r] = out.astype(jnp.float32).transpose((1, 0, 2)).astype(o_ref.dtype)
+        else:
+            o_ref[0, :, r] = out.transpose((1, 0, 2))
         return carry
 
     jax.lax.fori_loop(0, R, row_body, 0)
@@ -511,10 +679,135 @@ def _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int):
     return seq + o.astype(x_pm.dtype)
 
 
+def _kernel_v3(x_ref, qg_ref, kg_ref, padkv_ref, padks_ref,
+               ln1g_ref, ln1b_ref, qkvw_ref, qkvb_ref,
+               ln2g_ref, ln2b_ref, m1w_ref, m1b_ref, m2w_ref, m2b_ref,
+               o_ref, xt_ref, ot_ref, *, heads: int, Tp: int, has_guid: bool,
+               interpret: bool):
+    """One-shot variant of :func:`_kernel_v2`: the whole (T, R*W, C) block is
+    pair-transposed ONCE into a VMEM scratch, and a fori loop walks
+    super-chunks of 8 positions with plain leading-dim dynamic slices — no
+    per-row middle-dim strided extraction (measured ~25% of the v2 kernel).
+    Requires T even (the CW=4 sub-chunk slices land on 8-row boundaries)."""
+    T, R, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3], x_ref.shape[4]
+    D = C // heads
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    RW = R * W
+    CW = 4                       # positions per supermatrix sub-chunk
+    cr = CW * T
+    fast = dt == jnp.bfloat16
+
+    bd = _blockdiag(C, D, f32)
+    ln1g, ln1b = ln1g_ref[0], ln1b_ref[0]
+    padkv4 = jnp.tile(padkv_ref[:], (CW, 1))
+    padks = padks_ref[:]
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (cr, CW * C), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (cr, CW * C), 1)
+    qfn = lambda r: 2 * (r // (2 * T)) + (r % 2)
+    qmask = (qfn(rr) == ll // C).astype(dt)
+    bd4 = jnp.tile(bd, (CW, 1))
+    pr = jax.lax.broadcasted_iota(jnp.int32, (CW, cr), 0)
+    qr = jax.lax.broadcasted_iota(jnp.int32, (CW, cr), 1)
+    sel4 = (pr == qfn(qr)).astype(dt)
+    selTb = (jax.lax.broadcasted_iota(jnp.int32, (cr, CW), 1)
+             == qfn(jax.lax.broadcasted_iota(jnp.int32, (cr, CW), 0))).astype(f32)
+
+    if has_guid:
+        qgv = qg_ref[0].astype(f32)          # (2T, C) interleaved
+        kgv = kg_ref[0].astype(f32)
+
+    # ---- one-shot pair transpose into scratch
+    xall = x_ref[0].reshape(T, RW, C)
+    if interpret:
+        xt_ref[...] = (xall.reshape(T, RW // 2, 2, C)
+                       .transpose(1, 0, 2, 3).reshape(RW // 2, 2 * T, C))
+    else:
+        xp = pltpu.bitcast(xall, jnp.int32)              # (T, RW/2, C)
+        xt_ref[...] = xp.transpose((1, 0, 2))            # (RW/2, T, C)
+
+    def sc_body(c, carry):
+        if interpret:
+            xf = xt_ref[pl.ds(c * 4, 4)].reshape(8 * T, C)
+        else:
+            pk = xt_ref[pl.ds(c * 4, 4)]                 # (4, T, C) int32
+            xf = pltpu.bitcast(pk.reshape(4 * T, C), dt)  # (8T, C) bf16
+        x32 = xf.astype(f32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        if fast:
+            var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - mu * mu
+        else:
+            var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        y = ((x32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1g + ln1b).astype(dt)
+        qkv = jnp.dot(y, qkvw_ref[:], preferred_element_type=f32) + qkvb_ref[0]
+        q, k, v = qkv[:, :C], qkv[:, C:2 * C], qkv[:, 2 * C:]
+        if has_guid:
+            q = (q.reshape(4, 2 * T, C) + qgv[None]).reshape(8 * T, C)
+            k = (k.reshape(4, 2 * T, C) + kgv[None]).reshape(8 * T, C)
+        Q = _elu1(q)
+        K = _elu1(k)
+        Qc = Q.astype(dt)
+        Kc = K.astype(dt)
+        Vc = (v / Tp).astype(dt)
+
+        outs = []
+        for s in range(2):
+            sl = slice(s * cr, (s + 1) * cr)             # 600-row static slice
+            Qb = jnp.tile(Qc[sl], (1, CW)) * qmask
+            Kb = jnp.tile(Kc[sl], (1, CW)) * qmask
+            kv = jax.lax.dot_general(Kb, Vc[sl], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=f32)
+            kv = (kv * bd4 + padkv4).astype(dt)
+            attn = jax.lax.dot_general(Qb, kv, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+            ks4 = jax.lax.dot_general(sel4, Kc[sl], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32) + padks
+            ksb = jnp.dot(selTb, ks4, preferred_element_type=f32)
+            zraw = (Q[sl] * ksb).astype(dt)
+            z = jnp.dot(zraw, bd.astype(dt), preferred_element_type=f32)
+            outs.append(attn * (Tp / (z + _EPS)))
+        attn_all = jnp.concatenate(outs, axis=0)
+
+        seq32 = x32 + attn_all
+        seq = seq32.astype(dt)
+        mu = jnp.mean(seq32, axis=-1, keepdims=True)
+        if fast:
+            var = jnp.mean(jnp.square(seq32), axis=-1, keepdims=True) - mu * mu
+        else:
+            var = jnp.mean(jnp.square(seq32 - mu), axis=-1, keepdims=True)
+        y2 = ((seq32 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2g_ref[0]
+              + ln2b_ref[0]).astype(dt)
+        h = jnp.dot(y2, m1w_ref[:], preferred_element_type=f32) + m1b_ref[0]
+        h = jnp.maximum(h, 0.0).astype(dt)
+        o = jnp.dot(h, m2w_ref[:], preferred_element_type=f32) + m2b_ref[0]
+        out = seq + o.astype(dt)                         # (8T, C)
+        if interpret:
+            ot_ref[pl.ds(c * 4, 4)] = out.reshape(4, 2 * T, C)
+        else:
+            ot_ref[pl.ds(c * 4, 4)] = pltpu.bitcast(out, jnp.int32).reshape(4, T, C)
+        return carry
+
+    jax.lax.fori_loop(0, RW // 8, sc_body, 0)
+
+    # ---- one-shot inverse transpose out
+    if interpret:
+        o3 = (ot_ref[...].reshape(RW // 2, T, 2, C)
+              .transpose(1, 0, 2, 3).reshape(T, RW, C))
+    else:
+        o3 = pltpu.bitcast(ot_ref[...].transpose((1, 0, 2)), dt)  # (T, RW, C)
+    o_ref[0] = o3.reshape(T, R, W, C)
+
+
 def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool):
     B, T, H, W, C = x.shape
     has_guid = qg is not None
     dt = x.dtype
+
+    # v2 fast path (see _kernel_v2): bf16 compute, even geometry, no
+    # measurement ablation active (the component hooks live in the v1 body)
+    use_v2 = (dt == jnp.bfloat16 and W % 4 == 0 and T % 2 == 0
+              and not _ABLATE and not os.environ.get("CATSEG_CLASS_V1"))
 
     def v2(a, cast=None):
         a = a.astype(cast or dt)
@@ -522,11 +815,15 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
 
     qkv_w = jnp.concatenate([p["q_w"][:C], p["k_w"][:C], p["v_w"]], axis=1).astype(dt)
     qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]]).astype(jnp.float32).reshape(1, -1)
-    zerog = jnp.zeros((B, T, C), dt)
+    plain = bool(os.environ.get("CATSEG_CLASS_PLAINT"))  # A/B: plain transpose
+    gT = 2 * T if (use_v2 and not plain) else T
+    interleave = ((lambda g: jnp.repeat(g, 2, axis=1))
+                  if (use_v2 and not plain) else (lambda g: g))
+    zerog = jnp.zeros((B, gT, C), dt)
     operands = [
         x,
-        (qg.astype(dt) if has_guid else zerog),
-        (kg.astype(dt) if has_guid else zerog),
+        (interleave(qg).astype(dt) if has_guid else zerog),
+        (interleave(kg).astype(dt) if has_guid else zerog),
         pad_kv.astype(jnp.float32),
         pad_ksum.astype(jnp.float32).reshape(1, C),
         v2(p["ln1_g"], jnp.float32), v2(p["ln1_b"], jnp.float32),
@@ -555,17 +852,35 @@ def _pallas(x, qg, kg, pad_kv, pad_ksum, p, heads: int, Tp: int, interpret: bool
             if H % r == 0 and T * r * W * C * dt.itemsize <= budget:
                 R = r
     x_spec = pl.BlockSpec((1, T, R, W, C), lambda b, h: (b, 0, h, 0, 0), memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, T, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, gT, C), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, h: (0,) * a.ndim, memory_space=pltpu.VMEM)
     specs = [x_spec, g_spec, g_spec] + [const(a) for a in operands[3:]]
 
+    use_v3 = use_v2 and not plain and (R * W) % 8 == 0 and not os.environ.get(
+        "CATSEG_CLASS_NO_V3")
+    scratch = []
+    if use_v3:
+        kern = functools.partial(_kernel_v3, heads=heads, Tp=Tp,
+                                 has_guid=has_guid, interpret=interpret)
+        if interpret:
+            sshape = ((R * W // 2, 2 * T, C), dt)
+        else:
+            sshape = ((R * W // 2, T, C), jnp.int32)
+        scratch = [pltpu.VMEM(*sshape), pltpu.VMEM(*sshape)]
+    elif use_v2:
+        kern = functools.partial(_kernel_v2, heads=heads, Tp=Tp,
+                                 has_guid=has_guid, interpret=interpret,
+                                 plain=plain)
+    else:
+        kern = functools.partial(_kernel, heads=heads, Tp=Tp, has_guid=has_guid)
     return pl.pallas_call(
-        functools.partial(_kernel, heads=heads, Tp=Tp, has_guid=has_guid),
+        kern,
         out_shape=jax.ShapeDtypeStruct((B, T, H, W, C), dt),
         grid=(B, H // R),
         in_specs=specs,
         out_specs=x_spec,
         interpret=interpret,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * T * C * (3 * C + 8 * C + 3 * C),
             bytes_accessed=2 * B * T * H * W * C * dt.itemsize,

@@ -185,6 +185,45 @@ def test_fused_class_layer_matches_legacy_path(T, with_guid):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.parametrize("T,H", [(6, 8), (10, 24)])
+def test_fused_class_layer_bf16_v3_path(T, H):
+    """The bf16 compute path takes the v3 pair-transposed supermatrix kernel
+    (class_layer._kernel_v3: one-shot int32 sublane-pair transpose + masked
+    supermatrix attention); parity vs the plain-XLA reference at bf16
+    tolerance.  T even / W % 4 == 0 gates the path (odd T falls back)."""
+    import os
+
+    import jax
+    from catseg_tpu.kernels.class_layer import (
+        _reference, fused_class_layer, pad_contributions)
+
+    B, W, C, Cg, heads, Tp = 1, H, 128, 48, 4, 16
+    cp = _class_layer_params(jax.random.PRNGKey(0), C, Cg)
+    p = {
+        "ln1_g": cp["norm1"]["g"], "ln1_b": cp["norm1"]["b"],
+        "q_w": cp["q_w"], "q_b": cp["q_b"],
+        "k_w": cp["k_w"], "k_b": cp["k_b"],
+        "v_w": cp["v_w"], "v_b": cp["v_b"],
+        "ln2_g": cp["norm2"]["g"], "ln2_b": cp["norm2"]["b"],
+        "mlp1_w": cp["mlp1_w"], "mlp1_b": cp["mlp1_b"],
+        "mlp2_w": cp["mlp2_w"], "mlp2_b": cp["mlp2_b"],
+    }
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, T, H, W, C).astype(np.float32) * 0.3).astype(jnp.bfloat16)
+    qg = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+    kg = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+    pad_kv, pad_ksum = pad_contributions(
+        cp["padding_tokens"].reshape(-1), None, p, Tp - T, Tp, heads)
+
+    got = fused_class_layer(x, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    x_pm = x.transpose(0, 2, 3, 1, 4).reshape(B, H * W, T, C)
+    want = _reference(x_pm, qg, kg, pad_kv, pad_ksum, p, heads, Tp)
+    want = want.reshape(B, H, W, T, C).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)
+
+
 def test_fused_class_layer_grad():
     import jax
     from catseg_tpu.configs import CATSegConfig
