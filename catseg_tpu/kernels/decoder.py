@@ -223,6 +223,27 @@ def _phased_conv(x_f32, C: int, depth: int, w, left, right, dtype):
 
 
 @functools.lru_cache(maxsize=None)
+def _all_groups(depth: int):
+    """Single whole-P group (all phases, all distinct variants).  K-waste is
+    the worst (16/36 variants vs 9 useful) but M = P*Cout in ONE dot — used
+    for the 1-channel head conv, where the row-grouped form's M = s*Cout =
+    4 rows pays 4 dispatches of 8-row-padded matmuls for ~0.2 ms/stage."""
+    srcs = _tap_sources(depth)
+    keys: list = []
+    kidx: dict = {}
+    pmaps = []
+    for taps in srcs:
+        row = []
+        for key in taps:
+            if key not in kidx:
+                kidx[key] = len(keys)
+                keys.append(key)
+            row.append(kidx[key])
+        pmaps.append(tuple(row))
+    return ((tuple(range(len(srcs))), tuple(keys), tuple(pmaps)),)
+
+
+@functools.lru_cache(maxsize=None)
 def _row_groups(depth: int):
     """Output phases grouped by base ROW phase py, with each group's distinct
     rolled variants and per-phase tap -> variant maps.
@@ -259,7 +280,8 @@ def _row_groups(depth: int):
     return tuple(groups)
 
 
-def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
+def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int,
+                    allp: bool = False) -> jnp.ndarray:
     """(Cout, 9*Cin) tap-major weights -> (G, sP*Cout, D*Cin) row-grouped
     block form (see :func:`_row_groups`).
 
@@ -272,7 +294,7 @@ def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
     cout = wm.shape[0]
     zero = jnp.zeros((cout, cin), wm.dtype)
     gmats = []
-    for _, keys, pmaps in _row_groups(depth):
+    for _, keys, pmaps in (_all_groups if allp else _row_groups)(depth):
         D = len(keys)
         rows = []
         for kmap in pmaps:
@@ -285,7 +307,7 @@ def _conv_w_grouped(wm: jnp.ndarray, cin: int, depth: int) -> jnp.ndarray:
 
 
 def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype,
-                         fast_roll: bool = False):
+                         fast_roll: bool = False, allp: bool = False):
     """Row-grouped phased 3x3 conv: one matmul per base-row group.
 
     wb: (G, sP*Cout, D*C) from :func:`_conv_w_grouped`.  Each group's dot
@@ -332,10 +354,11 @@ def _phased_conv_grouped(x_f32, C: int, depth: int, wb, left, right, dtype,
             return cache[key]
 
     wb = wb.astype(dtype)
-    groups = _row_groups(depth)
-    cout = wb.shape[1] // (1 << depth)
+    groups = (_all_groups if allp else _row_groups)(depth)
+    cout = wb.shape[1] // ((1 << depth) ** 2 if allp else (1 << depth))
     if _ABLATE == "noconv":
-        return x_f32[:len(groups) * (1 << depth) * cout] * 1.0001
+        P_out = (1 << depth) ** 2 if allp else len(groups) * (1 << depth)
+        return x_f32[:P_out * cout] * 1.0001
     outs = []
     shared = None
     for g, (_, keys, _) in enumerate(groups):
@@ -383,12 +406,14 @@ def _gn_stats(h, C: int, P: int, valid, n_groups: int, S: int = 1):
     if _ABLATE == "nogn":
         return (jnp.zeros((n_groups, S), jnp.float32),
                 jnp.ones((n_groups, S), jnp.float32))
-    hm = jnp.where(valid, h, 0.0)
+    hm = jnp.where(valid, h, jnp.zeros((), h.dtype))
     sel = _gn_selT(C, P, n_groups)                            # (P*C, G)
     cnt = float(P * (C // n_groups) * (BASE * BASE))
     if S == 1:
-        rs1 = jnp.sum(hm, axis=1, keepdims=True)              # (P*C, 1)
-        rs2 = jnp.sum(hm * hm, axis=1, keepdims=True)
+        # dtype= widens bf16 rows into an fp32 accumulator in the reduce
+        # itself (the bf16 GN chain halves the stats passes' VPU bytes)
+        rs1 = jnp.sum(hm, axis=1, keepdims=True, dtype=jnp.float32)
+        rs2 = jnp.sum(hm * hm, axis=1, keepdims=True, dtype=jnp.float32)
     else:
         # per-slab row sums via L-aligned lane slices + plain lane
         # reductions.  The r4 form was a (P*C, S*L) @ (S*L, S) segment
@@ -422,7 +447,7 @@ def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int,
     per-slab scale/shift expanded to lanes by a segment matmul.
     """
     if _ABLATE == "nogn":
-        return jnp.where(valid, jnp.maximum(h, 0.0), 0.0)
+        return jnp.where(valid, jnp.maximum(h, 0.0), 0.0).astype(h.dtype)
     if stats is None:
         stats = _gn_stats(h, C, P, valid, n_groups, S)
     mean, inv = stats                                         # (G, S) each
@@ -444,7 +469,10 @@ def _group_norm_relu(h, C: int, P: int, g_ref, b_ref, valid, n_groups: int,
         shift_l = jax.lax.dot_general(shift, segT, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     y = jnp.maximum(h * scale_l + shift_l, 0.0)
-    return jnp.where(valid, y, 0.0)
+    # carry the GN chain in h's dtype: on the compiled bf16 path the whole
+    # stats/affine/mask chain then moves 2-byte data (the GN passes were
+    # ~20% of the eval kernel, VPU-bandwidth-bound)
+    return jnp.where(valid, y, 0.0).astype(h.dtype)
 
 
 def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
@@ -490,14 +518,19 @@ def _gn_relu_bwd(dh, c, stats, g_ref, b_ref, valid, C: int, P: int,
     return dc_all, dgain, dbias
 
 
-def _up1_planes(x, up1, up1b_ref, valid, dtype):
-    """x (128, L) -> u1 (4*96, L) fp32: the 24->48 ConvT as phase matmuls."""
+def _up1_planes(x, up1, up1bm, valid, dtype, cdt=jnp.float32):
+    """x (128, L) -> u1 (4*96, L) cdt: the 24->48 ConvT as phase matmuls.
+
+    ``up1bm`` is the lane-MASKED bias plane (4*96, L) precomputed once per
+    grid step: x's invalid lanes are exactly zero (to_planes / GN masking),
+    so the matmul output is already zero there and bias*valid replaces the
+    old add + where(valid) full-plane pass — bit-identical at valid lanes,
+    one pass cheaper.  ``cdt`` carries bf16 on the compiled bf16 path."""
     u1 = jnp.concatenate([
         jax.lax.dot_general(up1[p].astype(x.dtype), x, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         for p in range(4)], axis=0)
-    u1 = u1 + jnp.tile(up1b_ref[:], (4, 1))
-    return jnp.where(valid, u1, 0.0)
+    return u1.astype(cdt) + up1bm
 
 
 # depth-2 plane (py2*4 + px2) draws ConvT plane (al*2+be) applied to stage-1
@@ -506,15 +539,25 @@ _UP2_MAP = [((py2 % 2) * 2 + px2 % 2, (py2 // 2) * 2 + px2 // 2)
             for py2 in range(4) for px2 in range(4)]
 
 
-def _up2_planes(planes1, up2, up2b_ref, valid, dtype):
-    """4 stage-1 planes (64, L) bf16 -> u2 (16*48, L) fp32 (48->96 ConvT)."""
+def _up2_planes(planes1, up2, up2bm, valid, dtype, cdt=jnp.float32):
+    """4 stage-1 planes (64, L) bf16 -> u2 (16*48, L) cdt (48->96 ConvT).
+
+    Same masked-bias fold as :func:`_up1_planes` (planes1 invalid lanes are
+    zero via the GN mask)."""
     u2 = jnp.concatenate([
         jax.lax.dot_general(up2[w].astype(dtype), planes1[src],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
         for (w, src) in _UP2_MAP], axis=0)
-    u2 = u2 + jnp.tile(up2b_ref[:], (16, 1))
-    return jnp.where(valid, u2, 0.0)
+    return u2.astype(cdt) + up2bm
+
+
+def _add_masked_up_biases(W, valid, cdt):
+    """Stash the lane-masked ConvT bias planes (see _up1_planes) in W."""
+    b1 = W["up1b"][:]
+    b2 = W["up2b"][:]
+    W["up1bm"] = jnp.where(valid, jnp.tile(b1, (4, 1)), 0.0).astype(cdt)
+    W["up2bm"] = jnp.where(valid, jnp.tile(b2, (16, 1)), 0.0).astype(cdt)
 
 
 def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1,
@@ -533,27 +576,33 @@ def _slab_forward(x, hg1, hg2, W, masks, dtype, keep=False, S: int = 1,
     """
     valid, left, right = masks
     conv = lambda *a: _phased_conv_grouped(*a, fast_roll=fast_roll)
-    u1 = _up1_planes(x, W["up1"], W["up1b"], valid, dtype)
-    c1 = conv(u1, 96, 1, W["c11"], left, right, dtype) + hg1
+    # GN-chain carrier dtype: bf16 on the compiled bf16 path (keyed on
+    # fast_roll, the same predicate as the roll trick) — the pre-GN
+    # activations and GN outputs then move half the VPU bytes; stats still
+    # accumulate fp32 (see _gn_stats).  fp32 otherwise (oracle parity).
+    cdt = dtype if fast_roll else jnp.float32
+    u1 = _up1_planes(x, W["up1"], W["up1bm"], valid, dtype, cdt)
+    c1 = (conv(u1, 96, 1, W["c11"], left, right, dtype) + hg1).astype(cdt)
     st1 = _gn_stats(c1, 64, 4, valid, 4, S)
     h1 = _group_norm_relu(c1, 64, 4, W["gn11g"], W["gn11b"], valid, 4, st1, S)
-    c2 = conv(h1, 64, 1, W["c12"], left, right, dtype)
+    c2 = conv(h1, 64, 1, W["c12"], left, right, dtype).astype(cdt)
     st2 = _gn_stats(c2, 64, 4, valid, 4, S)
     h2 = _group_norm_relu(c2, 64, 4, W["gn12g"], W["gn12b"], valid, 4, st2, S)
 
     planes1 = [h2[p * 64:(p + 1) * 64].astype(dtype) for p in range(4)]
-    u2 = _up2_planes(planes1, W["up2"], W["up2b"], valid, dtype)
-    c3 = conv(u2, 48, 2, W["c21"], left, right, dtype) + hg2
+    u2 = _up2_planes(planes1, W["up2"], W["up2bm"], valid, dtype, cdt)
+    c3 = (conv(u2, 48, 2, W["c21"], left, right, dtype) + hg2).astype(cdt)
     st3 = _gn_stats(c3, 32, 16, valid, 2, S)
     h3 = _group_norm_relu(c3, 32, 16, W["gn21g"], W["gn21b"], valid, 2, st3, S)
-    c4 = conv(h3, 32, 2, W["c22"], left, right, dtype)
+    c4 = conv(h3, 32, 2, W["c22"], left, right, dtype).astype(cdt)
     st4 = _gn_stats(c4, 32, 16, valid, 2, S)
     h4 = _group_norm_relu(c4, 32, 16, W["gn22g"], W["gn22b"], valid, 2, st4, S)
 
     if _ABLATE == "nohead":
         out = h4[:16]
     else:
-        out = conv(h4, 32, 2, W["hw"], left, right, dtype) + W["hb"][:]
+        out = _phased_conv_grouped(h4, 32, 2, W["hw"], left, right, dtype,
+                                   fast_roll=fast_roll, allp=True) + W["hb"][:]
     if keep:
         return out, (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4)
     return out
@@ -583,6 +632,11 @@ def _kernel(x_ref, hg1_ref, hg2_ref, *rest, dtype, slabs: int,
     refs, o_ref = rest[:-1], rest[-1]
     masks = _lane_masks()
     W = _load_weights(refs)
+    _add_masked_up_biases(W, masks[0], dtype if fast_roll else jnp.float32)
+    # unrolled on purpose: a fori body with dynamic x_ref[s] indexing was
+    # measured SLOWER at every S (4.65/4.50/4.46 ms at S=2/6/25 vs 4.31
+    # unrolled, B=2 eval dims, r5) — dynamic-slice blocks cost more than the
+    # grid-step overhead they avoid
     for s in range(slabs):
         out = _slab_forward(x_ref[s], hg1_ref[0].astype(jnp.float32),
                             hg2_ref[0].astype(jnp.float32), W, masks, dtype,
@@ -606,7 +660,9 @@ def _conv_bwd(dY, X, wt, cin: int, cout: int, depth: int, masks, dtype):
     dYm = jnp.where(valid, dY, 0.0)
     dX = _phased_conv(dYm, cout, depth, wt, left, right, dtype)
     P = (1 << depth) ** 2
-    xcols = _phased_xcols(X, cin, depth, left, right, dtype)
+    # saved activations may be bf16 (the forward's GN-chain carrier);
+    # _phased_xcols' plain path rolls with pltpu.roll, which is 32-bit only
+    xcols = _phased_xcols(X.astype(jnp.float32), cin, depth, left, right, dtype)
     dW = jnp.float32(0.0)
     for p in range(P):
         dYp = dYm[p * cout:(p + 1) * cout].astype(dtype)
@@ -625,7 +681,8 @@ def _plane_bias_grad(d, C: int, P: int):
     return acc
 
 
-def _bwd_kernel(x_ref, hg1_ref, hg2_ref, do_ref, *rest, dtype, t_steps: int):
+def _bwd_kernel(x_ref, hg1_ref, hg2_ref, do_ref, *rest, dtype, t_steps: int,
+                fast_roll: bool = False):
     (refs, dx_ref, dhg1_ref, dhg2_ref,
      dup1_ref, dup1b_ref, dc11_ref, dgn11g_ref, dgn11b_ref,
      dc12_ref, dgn12g_ref, dgn12b_ref,
@@ -638,6 +695,8 @@ def _bwd_kernel(x_ref, hg1_ref, hg2_ref, do_ref, *rest, dtype, t_steps: int):
     W = _load_weights(refs[:len(_W_KEYS)])
     # transposed-conv weights for the input gradients (precomputed outside)
     wt11, wt12, wt21, wt22, wth = (r[:] for r in refs[len(_W_KEYS):])
+
+    _add_masked_up_biases(W, valid, dtype if fast_roll else jnp.float32)
 
     i = pl.program_id(0)
 
@@ -657,7 +716,8 @@ def _bwd_kernel(x_ref, hg1_ref, hg2_ref, do_ref, *rest, dtype, t_steps: int):
     x = x_ref[0]
     hg1 = hg1_ref[0].astype(f32)
     hg2 = hg2_ref[0].astype(f32)
-    _, saved = _slab_forward(x, hg1, hg2, W, masks, dtype, keep=True)
+    _, saved = _slab_forward(x, hg1, hg2, W, masks, dtype, keep=True,
+                             fast_roll=fast_roll)
     (u1, c1, st1, h1, c2, st2, h2, u2, c3, st3, h3, c4, st4, h4) = saved
 
     dout = jnp.where(valid, do_ref[0].astype(f32), 0.0)   # (16, L)
@@ -833,7 +893,8 @@ def _weight_operands(d1, d2, head, dtype):
         col(d2["gn1"]["g"]), col(d2["gn1"]["b"]),
         grp(d2["conv2_w"], 32, 2),
         col(d2["gn2"]["g"]), col(d2["gn2"]["b"]),
-        grp(head["w"], 32, 2), col(head["b"]),
+        _conv_w_grouped(_conv_w_mat(head["w"]), 32, 2, allp=True).astype(dtype),
+        col(head["b"]),
     ]
     specs = [pl.BlockSpec(o.shape, (lambda nd: (lambda i: (0,) * nd))(o.ndim))
              for o in ops]
@@ -903,8 +964,9 @@ def _fused_bwd(B, T, res, gout):
                  pl.BlockSpec((1, 16 * 32, L), lambda i: (i // T, 0, 0))]
     out_specs += [const_out(o) for o in out_shapes[3:]]
 
-    kernel = functools.partial(_bwd_kernel, dtype=dtype, t_steps=T)
     interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_bwd_kernel, dtype=dtype, t_steps=T,
+                               fast_roll=(not interpret) and dtype == jnp.bfloat16)
     outs = pl.pallas_call(
         kernel,
         grid=(N,),
