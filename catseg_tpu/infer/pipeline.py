@@ -73,12 +73,27 @@ def sliding_window_probs_batch(
     logits = _model_forward(params, batch, text_feats, cfg)
     logits = logits.transpose(0, 2, 3, 1)  # ((nt+1)*n, 96, 96, T)
 
+    # Probability carrier dtype: bf16 when the model computes in bf16 (the
+    # tail + resize-argmax move ~1 GB of probabilities per 2-image dispatch
+    # at T=150 and sit at ~50% of the HBM roofline in fp32 — halving the
+    # bytes is worth the ~0.2% probability rounding, which is below the
+    # bf16 model's own numeric noise).  fp32 compute keeps the exact-parity
+    # fp32 tail (oracle tests unchanged); sigmoid and the torch-exact
+    # bilinear coordinate math stay fp32 in both.
+    pdt = jnp.dtype(cfg.compute_dtype)
+    fast = pdt == jnp.bfloat16
+    div = jnp.asarray(fold_divisor((out, out), k, s))
+    if fast:
+        div = div.astype(pdt)
+
     def tail(per_image):
         """(nt+1, 96, 96, T) -> (out, out, T); == the n=1 composition."""
-        lg = resize_bilinear(per_image, (k, k))
+        lg = resize_bilinear(per_image.astype(pdt) if fast else per_image, (k, k))
         probs = jax.nn.sigmoid(lg.astype(jnp.float32))
+        if fast:
+            probs = probs.astype(pdt)
         folded = fold_tiles(probs[:nt], (out, out), k, s)[0]
-        folded = folded / jnp.asarray(fold_divisor((out, out), k, s))
+        folded = folded / div
         global_up = resize_bilinear(probs[nt:], (out, out))[0]
         return (folded + global_up) / 2.0
 
@@ -206,6 +221,12 @@ def _resize_argmax_dynamic_cm(probs_cm, out_hw, canvas, chunk):
     h, w = probs_cm.shape[1:]
     wh = bilinear_row_weights_dynamic_out(canvas[0], out_hw[0], h)
     ww = bilinear_row_weights_dynamic_out(canvas[1], out_hw[1], w)
+    if probs_cm.dtype == jnp.bfloat16:
+        # keep the resize einsums on the bf16 MXU path (a bf16 x f32 dot
+        # would silently promote to an fp32 matmul at a quarter rate); the
+        # argmax compares run on the fp32 accumulations either way
+        wh = wh.astype(jnp.bfloat16)
+        ww = ww.astype(jnp.bfloat16)
     T = probs_cm.shape[0]
     Tp = -(-T // chunk) * chunk
     if Tp != T:
@@ -214,9 +235,14 @@ def _resize_argmax_dynamic_cm(probs_cm, out_hw, canvas, chunk):
     chunks = probs_cm.reshape(Tp // chunk, chunk, h, w)
     Hm, Wm = wh.shape[0], ww.shape[0]
 
+    # bf16 probs keep a bf16 intermediate between the two resize einsums
+    # (halves the (chunk, Hm, w) traffic); the final accumulation and the
+    # argmax compares are fp32 in both modes
+    mid_dt = probs_cm.dtype if probs_cm.dtype == jnp.bfloat16 else jnp.float32
+
     def body(carry, ch):
         best, best_idx, base = carry
-        r = jnp.einsum("thw,Hh->tHw", ch, wh, preferred_element_type=jnp.float32)
+        r = jnp.einsum("thw,Hh->tHw", ch, wh, preferred_element_type=mid_dt)
         r = jnp.einsum("tHw,Ww->tHW", r, ww, preferred_element_type=jnp.float32)
         cmax = jnp.max(r, axis=0)
         cidx = jnp.argmax(r, axis=0).astype(jnp.int32) + base
@@ -342,10 +368,16 @@ def resize_argmax(
     chunks = probs.reshape(h, w, Tp // chunk, chunk).transpose(2, 0, 1, 3)
 
     Hm, Wm = wh.shape[0], ww.shape[0]
+    # mirror _resize_argmax_dynamic_cm's bf16 handling (bf16 probs: bf16
+    # weights + bf16 mid so the dots stay on the full-rate MXU path)
+    if probs.dtype == jnp.bfloat16:
+        wh = wh.astype(jnp.bfloat16)
+        ww = ww.astype(jnp.bfloat16)
+    mid_dt = probs.dtype if probs.dtype == jnp.bfloat16 else jnp.float32
 
     def body(carry, ch):
         best, best_idx, base = carry
-        r = jnp.einsum("hwt,Hh->Hwt", ch, wh, preferred_element_type=jnp.float32)
+        r = jnp.einsum("hwt,Hh->Hwt", ch, wh, preferred_element_type=mid_dt)
         r = jnp.einsum("Hwt,Ww->HWt", r, ww, preferred_element_type=jnp.float32)
         cmax = jnp.max(r, axis=-1)
         cidx = jnp.argmax(r, axis=-1).astype(jnp.int32) + base

@@ -258,16 +258,24 @@ def collect_stage_records(cfg, T, batch, reps=20, peak_tflops=PEAK_TFLOPS_BF16,
           agg, img_feats, textB, *guidance)
 
     def stage_tail(logits):
+        # mirrors pipeline.sliding_window_probs_batch's tail incl. the bf16
+        # probability carrier on bf16 compute (see pipeline.py)
+        fast = dtype == jnp.bfloat16
         lg = logits.transpose(0, 2, 3, 1)
         per_image = jnp.concatenate(
             [lg[: nt * batch].reshape(nt, batch, *lg.shape[1:]).transpose(1, 0, 2, 3, 4),
              lg[nt * batch:][:, None]], axis=1)
+        div = jnp.asarray(fold_divisor((out_res, out_res), k, s))
+        if fast:
+            div = div.astype(dtype)
 
         def tail(pi):
-            l2 = resize_bilinear(pi, (k, k))
+            l2 = resize_bilinear(pi.astype(dtype) if fast else pi, (k, k))
             probs = jax.nn.sigmoid(l2.astype(jnp.float32))
+            if fast:
+                probs = probs.astype(dtype)
             folded = fold_tiles(probs[:nt], (out_res, out_res), k, s)[0]
-            folded = folded / jnp.asarray(fold_divisor((out_res, out_res), k, s))
+            folded = folded / div
             gup = resize_bilinear(probs[nt:], (out_res, out_res))[0]
             return (folded + gup) / 2.0
 
