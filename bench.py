@@ -270,6 +270,14 @@ def measure_train(cfg, batch, budget_s=30.0, _shared_state={}):
     if flops:
         out["mfu"] = round(flops / (best_ms / 1000) / (PEAK_TFLOPS_BF16 * 1e12), 3)
         out["step_tflop"] = round(flops / 1e12, 2)
+        # the numerator is XLA's cost analysis of THIS composition: fused
+        # Pallas kernels report their own (smaller, ~algorithmic) cost
+        # estimates, so replacing XLA ops with kernels can LOWER step_tflop
+        # at identical math (r5: routing the pooled class layer through the
+        # fused kernel cut step wall 286->276 ms at b8 while step_tflop
+        # dropped 4.49->4.03) — compare mfu across rounds only alongside
+        # step_ms
+        out["tflop_note"] = "XLA cost analysis; kernel swaps shift the numerator"
     return out
 
 

@@ -319,12 +319,17 @@ def class_aggregation(
 
     from ..parallel.mesh import mesh_divides, shard_kernel
 
-    if ((ph, pw) == (1, 1) and cfg.attention_type == "linear" and C % 128 == 0
-            and C % cfg.num_heads == 0 and mesh_divides(B)
-            and not os.environ.get("CATSEG_NO_PALLAS_CLASS")):
-        # eval path: pooling is the identity -> whole layer in one fused
-        # kernel on position-major data; the learnable pad rows enter as
+    fused_ok = (cfg.attention_type == "linear" and C % 128 == 0
+                and C % cfg.num_heads == 0 and mesh_divides(B)
+                and H % ph == 0 and W % pw == 0
+                and not os.environ.get("CATSEG_NO_PALLAS_CLASS"))
+    if fused_ok:
+        # Whole layer in one fused kernel; the learnable pad rows enter as
         # precomputed constant KV/Ksum terms (see kernels/class_layer.py).
+        # At eval pooling (1, 1) the kernel runs on x directly; at train
+        # pooling the kernel runs on the avg-pooled grid and the result is
+        # bilinearly upsampled back (align_corners=True), exactly the
+        # legacy composition below (model.py:357-424 semantics).
         # Under a mesh the dispatch enters a shard_map manual region with the
         # class axis GATHERED (in_spec P("data")): the attention reduces over
         # T, so each device runs the kernel on the full class list of its
@@ -359,12 +364,21 @@ def class_aggregation(
             pad_ksum = jnp.zeros((1, C), jnp.float32)
         from jax.sharding import PartitionSpec as P
 
+        xk = x
+        if (ph, pw) != (1, 1):
+            xk = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))
+            Hp, Wp = xk.shape[1], xk.shape[2]
+            xk = xk.reshape(B, T, Hp, Wp, C)
         out = shard_kernel(
             lambda x, qg, kg, pkv, pks, p: fused_class_layer(
                 x, qg, kg, pkv, pks, p, cfg.num_heads, Tp),
-            x, qg, kg, pad_kv, pad_ksum, p,
+            xk, qg, kg, pad_kv, pad_ksum, p,
             specs=(P("data"), P("data"), P("data"), P(), P(), P()),
             out_spec=P("data"))
+        if (ph, pw) != (1, 1):
+            out = resize_bilinear(
+                out.reshape(B * T, *out.shape[2:]), (H, W), align_corners=True)
+            out = out.reshape(B, T, H, W, C)
         return x + out
 
     xp = avg_pool2d(x.reshape(B * T, H, W, C), (ph, pw))

@@ -165,14 +165,17 @@ def _legacy_class_path(x, text_guidance, cp, cfg):
 import pytest
 
 
-@pytest.mark.parametrize("T,with_guid", [(5, True), (8, True), (5, False)])
-def test_fused_class_layer_matches_legacy_path(T, with_guid):
+@pytest.mark.parametrize("T,with_guid,pool", [(5, True, (1, 1)), (8, True, (1, 1)),
+                                              (5, False, (1, 1)), (6, True, (2, 2))])
+def test_fused_class_layer_matches_legacy_path(T, with_guid, pool):
+    """pool=(2,2) covers the train-pooling route through the fused kernel
+    (avg-pool -> kernel -> align_corners upsample, aggregator.py)."""
     import jax
     from catseg_tpu.configs import CATSegConfig
     from catseg_tpu.core import aggregator as A
 
     B, H, W, C, Cg = 1, 8, 8, 128, 48
-    cfg = CATSegConfig(hidden_dim=C, num_heads=4, pad_len=8, pooling_size=(1, 1),
+    cfg = CATSegConfig(hidden_dim=C, num_heads=4, pad_len=8, pooling_size=pool,
                        attention_type="linear", feature_resolution=(H, W),
                        text_guidance_proj_dim=Cg, compute_dtype="float32")
     cp = _class_layer_params(jax.random.PRNGKey(0), C, Cg)
@@ -181,7 +184,16 @@ def test_fused_class_layer_matches_legacy_path(T, with_guid):
     tg = jnp.asarray(rng.randn(B, T, Cg).astype(np.float32) * 0.2) if with_guid else None
 
     got = A.class_aggregation(x, tg, {"class": cp}, cfg)  # fused kernel path
-    want = _legacy_class_path(x, tg, cp, cfg)
+    if pool == (1, 1):
+        want = _legacy_class_path(x, tg, cp, cfg)
+    else:
+        import os
+
+        os.environ["CATSEG_NO_PALLAS_CLASS"] = "1"
+        try:
+            want = A.class_aggregation(x, tg, {"class": cp}, cfg)
+        finally:
+            del os.environ["CATSEG_NO_PALLAS_CLASS"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4, rtol=3e-4)
 
 
